@@ -1,0 +1,182 @@
+"""DOM-heuristic boilerplate stripping (north_rule custom operator).
+
+The reference service has *no* HTML boilerplate stripper (SURVEY.md
+§2.10) — its closest behaviors are text cleaning (F1) and content
+density (A5). This module supplies the north_rule-required operator from
+scratch: a stdlib ``html.parser`` tree walk scoring each block element by
+link-char ratio and tag density, dropping navigation/boilerplate blocks
+and returning the main-content text. Deterministic, pure-Python, and the
+single source of truth for both goldens and the pandas UDF.
+
+Heuristic (documented spec, our own golden fixtures pin it):
+
+* structural-noise tags are dropped wholesale: nav, footer, header,
+  aside, script, style, form, button, iframe, noscript;
+* the tree is segmented into blocks at block-level tags (div, p,
+  section, article, main, table, ul, ol, blockquote, pre, h1-h6, li);
+* per block: ``link_ratio = chars inside <a> / total chars`` and
+  ``tag_density = descendant tag count / max(total chars, 1)``;
+* a block is boilerplate when ``link_ratio > 0.5`` or
+  ``tag_density > 0.10`` or it has no text at all;
+* kept block texts are whitespace-normalized and joined with
+  ``"\\n\\n"``.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+DROP_TAGS = frozenset(
+    {"nav", "footer", "header", "aside", "script", "style", "form",
+     "button", "iframe", "noscript"}
+)
+BLOCK_TAGS = frozenset(
+    {"div", "p", "section", "article", "main", "table", "ul", "ol",
+     "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+     "body", "html"}
+)
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+LINK_RATIO_MAX = 0.5
+TAG_DENSITY_MAX = 0.10
+
+_RE_WS = re.compile(r"\s+")
+
+
+class _Node:
+    __slots__ = ("tag", "children", "text_parts")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.children: list[_Node] = []
+        self.text_parts: list[str] = []
+
+
+class _TreeBuilder(HTMLParser):
+    """Minimal, error-tolerant DOM builder over stdlib HTMLParser."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+        self._drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._drop_depth:
+            if tag in DROP_TAGS or tag not in VOID_TAGS:
+                if tag not in VOID_TAGS:
+                    self._drop_depth += 1
+            return
+        if tag in DROP_TAGS:
+            self._drop_depth = 1
+            return
+        if tag in VOID_TAGS:
+            return
+        node = _Node(tag)
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+
+    def handle_endtag(self, tag):
+        if self._drop_depth:
+            if tag not in VOID_TAGS:
+                self._drop_depth -= 1
+            return
+        if tag in VOID_TAGS:
+            return
+        # pop back to the matching open tag if present (tolerates
+        # mis-nested markup the way browsers do — closest-ancestor match)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if data:
+            self.stack[-1].text_parts.append(data)
+
+
+def _measure(node: _Node) -> tuple[int, int, int]:
+    """(total_chars, link_chars, tag_count) over the subtree."""
+    text_chars = sum(len(_RE_WS.sub(" ", t).strip()) for t in node.text_parts)
+    link_chars = 0
+    tag_count = 0
+    for child in node.children:
+        c_total, c_link, c_tags = _measure(child)
+        tag_count += 1 + c_tags
+        text_chars += c_total
+        link_chars += c_total if child.tag == "a" else c_link
+    return text_chars, link_chars, tag_count
+
+
+def _collect_text(node: _Node, out: list[str]) -> None:
+    for part in node.text_parts:
+        out.append(part)
+    for child in node.children:
+        _collect_text(child, out)
+
+
+def _walk_blocks(node: _Node, blocks: list[_Node]) -> None:
+    """Split the tree into candidate blocks at block-level boundaries.
+
+    A node becomes a block when it is block-level and has no block-level
+    descendants that would subdivide it further (we recurse into
+    containers, score leaves-of-the-block-tree).
+    """
+    block_children = [c for c in node.children if c.tag in BLOCK_TAGS]
+    if node.tag in BLOCK_TAGS and not block_children:
+        blocks.append(node)
+        return
+    # inline content directly under a container still counts as a block
+    if node.tag in BLOCK_TAGS or node.tag == "#root":
+        inline = _Node(node.tag)
+        inline.text_parts = list(node.text_parts)
+        inline.children = [c for c in node.children if c.tag not in BLOCK_TAGS]
+        total, _, _ = _measure(inline)
+        if total:
+            blocks.append(inline)
+        for child in block_children:
+            _walk_blocks(child, blocks)
+    else:
+        for child in node.children:
+            _walk_blocks(child, blocks)
+
+
+def strip_boilerplate(html: str) -> str:
+    """Main-content extraction for an 'html' span.
+
+    Returns the text of content blocks that survive the link-ratio /
+    tag-density heuristic, whitespace-normalized and joined with blank
+    lines. Empty string when nothing survives (fully-boilerplate page).
+    """
+    if not html:
+        return ""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # malformed beyond tolerance: fall back to tag-stripped text
+        return _RE_WS.sub(" ", re.sub(r"<[^>]+>", " ", html)).strip()
+    blocks: list[_Node] = []
+    _walk_blocks(builder.root, blocks)
+    kept: list[str] = []
+    for block in blocks:
+        total, link, tags = _measure(block)
+        if total == 0:
+            continue
+        link_ratio = link / total
+        tag_density = tags / max(total, 1)
+        if link_ratio > LINK_RATIO_MAX or tag_density > TAG_DENSITY_MAX:
+            continue
+        parts: list[str] = []
+        _collect_text(block, parts)
+        text = _RE_WS.sub(" ", " ".join(parts)).strip()
+        if text:
+            kept.append(text)
+    return "\n\n".join(kept)
