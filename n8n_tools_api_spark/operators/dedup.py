@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (no Python UDFs): shingle
+construction via higher-order functions, hashing via xxhash64, MinHash
+via explode + 64 min-aggregates (one shuffle), LSH banding via explode +
+hash-groupBy. At 100 TB the only shuffles are the per-doc signature
+aggregate and the band-bucket join — both key-balanced by construction
+(band hash is uniform), so no salting is needed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# MinHash universal-hash parameters: h_j(x) = (a_j * x + b_j) mod p.
+# Fixed seeds → deterministic signatures across runs and cluster sizes.
+# p = 2^31-1 keeps a*x+b within a signed 64-bit long under ANSI mode
+# (a, x < 2^31 → a*x < 2^62).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    # deterministic LCG-derived (a, b) pairs; a must be non-zero
+    params = []
+    state = 0x5DEECE66D
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 5,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) rows: distinct k-word shingles, pure column exprs.
+
+    ``sequence``+``transform``+``slice`` build the shingle array without
+    leaving the JVM; short documents fall back to the whole text as one
+    shingle so no document silently vanishes.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("shingle"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_hashes: int = 64, k: int = 5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document MinHash signature: (doc_id, sig array<bigint>).
+
+    One explode + one groupBy: each shingle is hashed once (xxhash64),
+    then the 64 permutations are 64 cheap min() aggregates over the
+    same base hash — map-side partial aggregation keeps the shuffle to
+    64 longs per doc regardless of document size.
+    """
+    base = word_shingles(df, text_col, k, id_col).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    )
+    mins = [
+        F.min(((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P))).alias(f"m{j}")
+        for j, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    agg = base.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           num_hashes: int = 64, bands: int = 16, k: int = 5,
+                           id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
+
+    Signature → ``bands`` band-hashes (xxhash64 over each signature
+    slice) → explode → groupBy band bucket → intra-bucket pairing.
+    Bucket sizes are near-uniform, so the pair blow-up is bounded; the
+    pairing is done with a self-join on the bucket key (AQE handles any
+    residual skew).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, num_hashes, k, id_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
+                        threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Distinct-shingle self-join: |A∩B| from the shingle equi-join,
+    |A∪B| = |A|+|B|-|A∩B|. The join key is the shingle itself — at
+    scale, stop-shingle skew is the risk; mitigated by dropping
+    ultra-frequent shingles (document-frequency cap) before the join.
+    """
+    sh = word_shingles(df, text_col, k, id_col)
+    # df-cap: shingles appearing in >1% of docs (min 100) carry no
+    # discriminative signal and create join skew — drop them.
+    n_docs = df.count()
+    df_cap = max(int(n_docs * 0.01), 100)
+    sh = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("df") <= df_cap)
+        .drop("df")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_shared")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_shared")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def simhash_64(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: (doc_id, simhash bigint).
+
+    Token-hash bit votes, all JVM-side: explode tokens → xxhash64 →
+    64 conditional-sum aggregates (one per bit) → reassembled long.
+    Near-dup detection = small Hamming distance between simhashes.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"b{i}") > 0,
+               F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
+        for i in range(64)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc.bitwiseOR(b)
+    return agg.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          max_distance: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
+
+    Blocked on 4 x 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least
+    one identical chunk), so the join is an equi-join on (chunk_idx,
+    chunk_value) — never a cross join.
+    """
+    sig = simhash_64(df, text_col, id_col)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned("simhash", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    pairs = (
+        chunks.alias("a").join(chunks.alias("b"), ["chunk_idx", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups by content hash (A10, s3_client.py:243-270)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("group_size"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("group_size") > 1)
+    )

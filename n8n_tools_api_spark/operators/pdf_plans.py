@@ -1,0 +1,144 @@
+"""PDF split/merge plans as DataFrame transforms (SURVEY.md §3.1).
+
+The reference's split/merge endpoints become *plan* tables: each request
+row expands to output rows ``(req_id, out_name, page_lo, page_hi)`` (or
+page-order rows for merges) with the reference's exact naming and error
+messages. Everything is a pure column expression — range parsing (P1),
+batch arithmetic (A3), merge orders (W3/W4) — so the entire operator is
+whole-stage-codegen'd and shuffle-free up to the final ordering.
+
+Invalid ranges follow the reference's error taxonomy
+(pdf_service.py:32-65) into an ``error`` side-channel column instead of
+raising — filter ``error IS NOT NULL`` into an _errors table (SURVEY.md
+§2.2 P1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def split_ranges_plan(requests: DataFrame) -> DataFrame:
+    """Expand (req_id, ranges array<string>, total_pages) into output rows.
+
+    Parity: pdf_service.py:68-155 + _parse_page_range (:32-65). Output:
+    (req_id, page_range, page_lo, page_hi, out_name, error) — page_lo/hi
+    1-based inclusive, error NULL on success.
+    """
+    r = F.trim(F.col("page_range"))
+    total = F.col("total_pages")
+    exploded = requests.select(
+        "req_id", "total_pages", F.explode("ranges").alias("page_range")
+    )
+
+    is_range = r.contains("-")
+    parts = F.split(r, "-", 2)
+    start_str = F.trim(parts[0])
+    end_str = F.trim(parts[1])
+    single_num = r.try_cast("int")
+    start_num = F.when(start_str == "", F.lit(1)).otherwise(start_str.try_cast("int"))
+    end_num = F.when(end_str == "", total).otherwise(end_str.try_cast("int"))
+
+    lo = F.when(is_range, start_num).otherwise(single_num)
+    hi = F.when(is_range, end_num).otherwise(single_num)
+
+    # reference error taxonomy, in its check order (pdf_service.py:37-64)
+    error = (
+        F.when(~is_range & single_num.isNull(),
+               F.concat(F.lit("Invalid page range format: "), r))
+        .when(~is_range & ((single_num < 1) | (single_num > total)),
+              F.concat(F.lit("Page "), single_num.cast("string"),
+                       F.lit(" is out of range (1-"), total.cast("string"), F.lit(")")))
+        .when(is_range & (start_num.isNull() | end_num.isNull()),
+              F.concat(F.lit("Invalid page numbers in range: "), r))
+        .when(is_range & ((start_num < 1) | (end_num < 1)),
+              F.lit("Page numbers must be greater than 0"))
+        .when(is_range & ((start_num > total) | (end_num > total)),
+              F.concat(F.lit("Page range "), start_num.cast("string"), F.lit("-"),
+                       end_num.cast("string"), F.lit(" exceeds document length ("),
+                       total.cast("string"), F.lit(" pages)")))
+        .when(is_range & (start_num > end_num),
+              F.concat(F.lit("Invalid range: start page ("), start_num.cast("string"),
+                       F.lit(") is greater than end page ("), end_num.cast("string"),
+                       F.lit(")")))
+    )
+
+    out_name = F.when(
+        lo == hi, F.concat(F.lit("page_"), lo.cast("string"), F.lit(".pdf"))
+    ).otherwise(
+        F.concat(F.lit("pages_"), lo.cast("string"), F.lit("-"),
+                 hi.cast("string"), F.lit(".pdf"))
+    )
+
+    return exploded.select(
+        "req_id", "page_range",
+        F.when(error.isNull(), lo).alias("page_lo"),
+        F.when(error.isNull(), hi).alias("page_hi"),
+        F.when(error.isNull(), out_name).alias("out_name"),
+        error.alias("error"),
+    )
+
+
+def split_batches_plan(requests: DataFrame) -> DataFrame:
+    """Expand (req_id, total_pages, batch_size, filename) into batch rows.
+
+    Parity: pdf_service.py:692-758 — ceil-division batch count, names
+    ``{base}_batch_{k}_page_{p}.pdf`` / ``{base}_batch_{k}_pages_{a}-{b}.pdf``.
+    """
+    total = F.col("total_pages")
+    bs = F.col("batch_size")
+    base = F.when(
+        F.col("filename").contains("."),
+        F.regexp_replace("filename", r"\.[^.]*$", ""),
+    ).otherwise(F.col("filename"))
+    batch_count = F.ceil(total / bs).cast("int")
+
+    exploded = (
+        requests.where((bs > 0) & (total > 0))
+        .select("req_id", "total_pages", "batch_size", base.alias("base"),
+                F.explode(F.sequence(F.lit(0), batch_count - 1)).alias("b"))
+    )
+    lo = (F.col("b") * bs + 1)
+    hi = F.least((F.col("b") + 1) * bs, total)
+    name = F.when(
+        lo == hi,
+        F.concat(F.col("base"), F.lit("_batch_"), (F.col("b") + 1).cast("string"),
+                 F.lit("_page_"), lo.cast("string"), F.lit(".pdf")),
+    ).otherwise(
+        F.concat(F.col("base"), F.lit("_batch_"), (F.col("b") + 1).cast("string"),
+                 F.lit("_pages_"), lo.cast("string"), F.lit("-"), hi.cast("string"),
+                 F.lit(".pdf")),
+    )
+    return exploded.select(
+        "req_id", (F.col("b") + 1).alias("batch_index"),
+        lo.alias("page_lo"), hi.alias("page_hi"), name.alias("out_name"),
+    )
+
+
+def merge_plan(requests: DataFrame, strategy_col: str = "strategy") -> DataFrame:
+    """Output page order for merge requests.
+
+    Input: (req_id, strategy 'append'|'interleave', files array<struct<
+    file_idx:int, n_pages:int>>). Output: (req_id, out_pos, file_idx,
+    page_idx) — parity with _merge_append (pdf_service.py:398-431) and
+    _merge_interleave (:433-473).
+    """
+    pages = (
+        requests.select("req_id", strategy_col, F.explode("files").alias("f"))
+        .select("req_id", strategy_col,
+                F.col("f.file_idx").alias("file_idx"),
+                F.col("f.n_pages").alias("n_pages"))
+        .select("req_id", strategy_col, "file_idx",
+                F.explode(F.sequence(F.lit(0), F.col("n_pages") - 1)).alias("page_idx"))
+    )
+    order_append = Window.partitionBy("req_id").orderBy("file_idx", "page_idx")
+    order_inter = Window.partitionBy("req_id").orderBy("page_idx", "file_idx")
+    out_pos = F.when(
+        F.col(strategy_col) == "interleave",
+        F.row_number().over(order_inter),
+    ).otherwise(F.row_number().over(order_append))
+    return pages.select(
+        "req_id", (out_pos - 1).alias("out_pos"), "file_idx", "page_idx"
+    ).orderBy("req_id", "out_pos")

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, matching the reference's RAG data model (1024-dim Mistral
+vectors, qdrant_http_service.py:126-150 — here the testdata's 64-dim
+analogs):
+
+* brute-force cosine top-k — exact baseline, JVM-side higher-order
+  functions (zip_with/aggregate), broadcast query vector, no UDF;
+* IVF-style bucketed ANN — coarse quantizer (centroid assignment) +
+  probe-limited search, the path that survives 10^9 vectors: the
+  centroid set is tiny (broadcast), assignment is a narrow map, and
+  queries only scan nprobe/nlist of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against one stored vector (broadcast)."""
+    q = (emb.where(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("_q")))
+    return (
+        emb.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col,
+                F.round(cosine_similarity_col(F.col(vec_col), F.col("_q")), 4)
+                .alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_assign(emb: DataFrame, nlist: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer: deterministic centroid pick + nearest-centroid
+    assignment.
+
+    Centroids are the ``nlist`` vectors with the smallest ids —
+    deterministic, no k-means iterations (a k-means refinement is a
+    drop-in: reassign = this same join). Returns (centroids, assigned)
+    where assigned has an extra ``cluster_id``. The assignment join is
+    broadcast (centroid set is tiny) and the argmax is a window over
+    (vector, score) — at 10^9 vectors this is the standard IVF build.
+    """
+    w = Window.orderBy(id_col)
+    centroids = (
+        emb.select(id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nlist)
+        .select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centroid"))
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
+    )
+    pick = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("cluster_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_score", "centroid")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: probe the query's ``nprobe`` nearest clusters only."""
+    centroids, assigned = ivf_assign(emb, nlist, id_col, vec_col)
+    q = emb.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_q"))
+    probe_clusters = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("_score", cosine_similarity_col(F.col("centroid"), F.col("_q")))
+        .orderBy(F.desc("_score"), "cluster_id")
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_clusters), "cluster_id")
+        .where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, "cluster_id",
+                F.round(cosine_similarity_col(F.col(vec_col), F.col("_q")), 4)
+                .alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )

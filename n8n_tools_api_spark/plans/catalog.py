@@ -1,0 +1,543 @@
+"""Query catalog — the driver-checked operator surface (SURVEY.md §2 + the
+training-data-pipeline operators).
+
+Every entry is a (spark_fn, oracle_sql) pair. The spark side is
+DataFrame-API (Catalyst-optimized, broadcast hints on dims); the oracle
+is ANSI SQL for DuckDB over the same parquet views. Determinism rules
+used throughout so the driver's value-hash can't drift:
+
+* money aggregates go through exact DECIMAL(18,6) sums, then cast to
+  double and round(2) — float partial-agg order can't jitter them;
+* every float output is rounded; every top-k has a total tiebreaker;
+* counts / regexp counts are cast to bigint on both sides (DuckDB
+  ``len()``/``count`` are BIGINT, DuckDB ``sum(int)`` is HUGEINT —
+  always CAST in the oracle);
+* timestamps are cast to DATE before output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# exact-decimal money sum: deterministic under any partitioning
+def _money(expr):
+    return F.round(F.sum(expr.cast("decimal(18,6)")).cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational queries (SURVEY.md §2.3 J4, §2.4)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog: scan-heavy groupBy with decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity")).alias("sum_qty"),
+            _money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                    / F.count("*"), 2).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                    / F.count("*"), 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog: 3-way join, top-10 revenue with total tiebreak."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 analog: star join through region/nation, broadcast dims."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              (orders.o_custkey == cust.c_custkey)
+              & (supplier.s_nationkey == cust.c_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def top_orders_by_price(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders
+ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def customer_acctbal_rank(spark, sf_dir):
+    """Window ranking (SURVEY.md §2.5): top-3 customers per nation."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("bal_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("bal_rank") <= 3)
+        .select("c_nationkey", "bal_rank", "c_custkey",
+                F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_nationkey", "bal_rank")
+    )
+
+
+RANK_SQL = """
+SELECT c_nationkey, bal_rank, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+  FROM customer
+)
+WHERE bal_rank <= 3
+ORDER BY c_nationkey, bal_rank
+"""
+
+
+def nation_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregate (SURVEY.md §2.4 note): region → nation subtotals."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(_money(F.col("o_totalprice")).alias("total_revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def part_type_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.sum(F.col("p_retailprice").cast("decimal(18,6)")).cast("double")
+                     / F.count("*"), 2).alias("avg_price"),
+             F.sum(F.col("p_size").cast("bigint")).alias("total_size"))
+        .orderBy("p_type")
+    )
+
+
+PART_SQL = """
+SELECT p_type, COUNT(*) AS n_parts,
+       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+def order_priority_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (time-series aggregates)
+# ---------------------------------------------------------------------------
+
+def events_daily(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"),
+             _money(F.col("value")).alias("total_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+ORDER BY day
+"""
+
+
+def events_type_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                     / F.count("*"), 4).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis (training-data-pipeline operators)
+# ---------------------------------------------------------------------------
+
+def lang_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+             F.countDistinct("source").alias("n_sources"))
+        .orderBy("lang")
+    )
+
+
+LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def doc_token_counts(spark, sf_dir):
+    """Token counting (whitespace tokens + estimated words, F13)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_count("text", F.lit(r"\S+")).cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars_actual"),
+            F.floor(F.length("text") / F.lit(5)).cast("bigint").alias("est_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(floor(length(text) / 5) AS BIGINT) AS est_words
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_quality_scores(spark, sf_dir):
+    """Quality scoring: alpha/digit/punct/space ratios per document."""
+    length = F.length("text").cast("double")
+    n = lambda pat: F.regexp_count("text", F.lit(pat)).cast("double")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.round(n(r"[A-Za-z]") / length, 4).alias("alpha_ratio"),
+            F.round(n(r"[0-9]") / length, 4).alias("digit_ratio"),
+            F.round(n(r"[.,;:!?]") / length, 4).alias("punct_ratio"),
+            F.round(n(r"\s") / length, 4).alias("space_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       ROUND(len(regexp_extract_all(text, '[A-Za-z]')) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio,
+       ROUND(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+       ROUND(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(len(regexp_extract_all(text, '\s')) / CAST(length(text) AS DOUBLE), 4) AS space_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (A10 analog: content-hash identity)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+                F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 16).alias("shard_key"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint,
+       substring(sha256(text), 1, 16) AS shard_key
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def exact_dedup_stats(spark, sf_dir):
+    """Exact dedup (hash-groupBy): corpus-level duplication summary."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("distinct_texts"),
+        (F.count("*") - F.countDistinct(F.md5(F.col("text").cast("binary")))).alias("n_duplicates"),
+    )
+
+
+DEDUP_SQL = """
+SELECT COUNT(*) AS total_docs,
+       COUNT(DISTINCT md5(text)) AS distinct_texts,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicates
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector.
+
+    The baseline ANN path: exact scan, JVM-side higher-order functions
+    (no UDF). At scale this becomes the per-bucket scorer under an LSH/
+    IVF pre-filter (see ann_ivf_topk).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    dot = _dot(F.col("embedding"), F.col("q_embedding"))
+    norm_e = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm_q = F.sqrt(_dot(F.col("q_embedding"), F.col("q_embedding")))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label",
+                F.round(dot / (norm_e * norm_q), 4).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+COSINE_SQL = """
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(q_embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(q_embedding AS DOUBLE[]), CAST(q_embedding AS DOUBLE[])))),
+             4) AS cosine_sim
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def embedding_label_stats(spark, sf_dir):
+    """Per-label L2-norm statistics over the embedding column."""
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"),
+             F.round(F.sum(F.col("norm").cast("decimal(18,9)")).cast("double")
+                     / F.count("*"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+NORM_SQL = """
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(CAST(SUM(CAST(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                   CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "top_orders_by_price": (top_orders_by_price, TOP_ORDERS_SQL),
+    "customer_acctbal_rank": (customer_acctbal_rank, RANK_SQL),
+    "nation_revenue_rollup": (nation_revenue_rollup, ROLLUP_SQL),
+    "part_type_stats": (part_type_stats, PART_SQL),
+    "order_priority_counts": (order_priority_counts, PRIORITY_SQL),
+    "events_daily": (events_daily, EVENTS_DAILY_SQL),
+    "events_type_stats": (events_type_stats, EVENTS_TYPE_SQL),
+    "lang_stats": (lang_stats, LANG_SQL),
+    "doc_token_counts": (doc_token_counts, TOKENS_SQL),
+    "doc_quality_scores": (doc_quality_scores, QUALITY_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "exact_dedup_stats": (exact_dedup_stats, DEDUP_SQL),
+    "cosine_topk": (cosine_topk, COSINE_SQL),
+    "embedding_label_stats": (embedding_label_stats, NORM_SQL),
+}

@@ -1,0 +1,170 @@
+"""Rows-only queries: the extraction pipeline + non-SQL-expressible ops.
+
+These have no DuckDB oracle (custom pandas-UDF semantics / multi-stage
+hashing); the driver records a rows-only check and the pytest suite
+pins their semantics against refsem goldens instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def extract_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction over the sf documents table wrapped as
+    interleaved docs, returning per-document span stats."""
+    from n8n_tools_api_spark.operators import extract_spans, span_stats
+    from n8n_tools_api_spark.sources import interleaved_from_documents_table
+
+    docs = interleaved_from_documents_table(spark, sf_dir)
+    return span_stats(extract_spans(docs)).orderBy("doc_id")
+
+
+def extract_synthetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the seeded synthetic corpus (exercises html
+    stripping, pdf_page banners/TOC, image classification, media refs)."""
+    from n8n_tools_api_spark.operators import extract_spans, span_stats
+    from n8n_tools_api_spark.sources import interleaved_df
+
+    docs = interleaved_df(spark, 300)
+    return span_stats(extract_spans(docs)).orderBy("doc_id")
+
+
+def extract_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media externalization: distinct content-addressed refs from the
+    synthetic corpus (A10 dedup + S6 keys)."""
+    from n8n_tools_api_spark.operators.media import distinct_media_blobs
+    from n8n_tools_api_spark.sources import interleaved_df
+
+    blobs = distinct_media_blobs(interleaved_df(spark, 300))
+    return blobs.select("media_key", "media_ref", "ext",
+                        F.length("media_bytes").cast("bigint").alias("n_bytes")) \
+        .orderBy("media_key")
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over documents ∪ mutated copies.
+
+    The sf corpus is all-unique, so we union deterministic mutations of
+    the first 25 docs (truncate 10%) — those MUST surface as candidates.
+    """
+    from n8n_tools_api_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mutated = (
+        docs.where(F.col("doc_id").cast("bigint") < 25)
+        .select(F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
+                F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"))
+    )
+    corpus = docs.unionByName(mutated)
+    return (
+        minhash_lsh_candidates(corpus, num_hashes=64, bands=16, k=5)
+        .where(F.col("n_shared_bands") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dups over the same mutated corpus."""
+    from n8n_tools_api_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mutated = (
+        docs.where(F.col("doc_id").cast("bigint") < 25)
+        .select(F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
+                F.expr("substring(text, 1, cast(length(text) * 0.95 as int))").alias("text"))
+    )
+    corpus = docs.unionByName(mutated)
+    return simhash_hamming_pairs(corpus, max_distance=3).orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the mutated corpus (verifies LSH recall)."""
+    from n8n_tools_api_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mutated = (
+        docs.where(F.col("doc_id").cast("bigint") < 25)
+        .select(F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
+                F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"))
+    )
+    corpus = docs.unionByName(mutated)
+    return ngram_jaccard_pairs(corpus, k=5, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors for vec_id=0."""
+    from n8n_tools_api_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, query_vec_id=0, k=10, nlist=16, nprobe=4)
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference language detector (A6) agreement vs the lang column."""
+    from n8n_tools_api_spark.operators.textstats import detect_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        detect_language(docs)
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("confidence"), 4).alias("avg_confidence"))
+        .orderBy("lang", "detected")
+    )
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode stage (stub codec): per-kind metadata stats."""
+    from n8n_tools_api_spark.operators.media import distinct_media_blobs
+    from n8n_tools_api_spark.operators.multimodal import decode_media
+    from n8n_tools_api_spark.sources import interleaved_df
+
+    blobs = distinct_media_blobs(interleaved_df(spark, 300))
+    assets = blobs.select(
+        "media_key", F.lit("image").alias("kind"), "media_bytes"
+    )
+    return (
+        decode_media(assets)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_assets"),
+             F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"))
+        .orderBy("kind")
+    )
+
+
+def pdf_split_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF range-split plan over a deterministic request matrix
+    (mirrors tests/unit/test_pdf_service.py:51-108 cases)."""
+    from n8n_tools_api_spark.operators.pdf_plans import split_ranges_plan
+
+    reqs = spark.createDataFrame(
+        [
+            ("r1", ["1-3", "5", "7-9"], 10),
+            ("r2", ["-3", "8-"], 10),
+            ("r3", ["0", "15", "7-3", "a-b", "1--3"], 10),
+            ("r4", ["1-10"], 10),
+        ],
+        "req_id string, ranges array<string>, total_pages int",
+    )
+    return split_ranges_plan(reqs).orderBy("req_id", "page_range")
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_documents_stats": extract_documents_stats,
+    "extract_synthetic_stats": extract_synthetic_stats,
+    "extract_media_refs": extract_media_refs,
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_near_dups": simhash_near_dups,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+    "ann_ivf_topk": ann_ivf_topk,
+    "language_id": language_id,
+    "multimodal_decode_stats": multimodal_decode_stats,
+    "pdf_split_plans": pdf_split_plans,
+}

@@ -1,0 +1,52 @@
+"""Mirror of the driver's correctness gate: every oracle-backed query is
+run through Spark AND DuckDB at sf0.001 and compared exactly (sorted
+columns, sorted rows, exact values) — the same comparison the driver
+does at sf0.01, so failures show up here first.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from n8n_tools_api_spark.plans import ORACLE_QUERIES, PIPELINE_QUERIES
+from n8n_tools_api_spark.sources.tables import TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime", "object")):
+            df[c] = df[c].map(lambda v: None if v is None or v != v else str(v))
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_QUERIES))
+def test_oracle_parity(spark, sf_dir, duck, name):
+    fn, sql = ORACLE_QUERIES[name]
+    spark_pd = _normalize(fn(spark, sf_dir).toPandas())
+    duck_pd = _normalize(duck.execute(sql).fetchdf())
+    assert list(spark_pd.columns) == list(duck_pd.columns), "column names differ"
+    assert len(spark_pd) == len(duck_pd), "row counts differ"
+    pd.testing.assert_frame_equal(spark_pd, duck_pd, check_dtype=False,
+                                  check_exact=True)
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES))
+def test_pipeline_queries_run(spark, sf_dir, name):
+    df = PIPELINE_QUERIES[name](spark, sf_dir)
+    rows = df.limit(5000).collect()
+    assert df.schema is not None
+    # every rows-only query on this corpus is expected to be non-empty
+    assert len(rows) > 0, f"{name} returned no rows"
