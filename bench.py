@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Runs the engine's headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+* the extraction pipeline over the deterministic bench corpus
+  (generation is cached to parquet and excluded from timing — both
+  parallelism levels read the same bytes);
+* the relational / dedup / similarity headline queries from the
+  catalog.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": <sf>, "extraction": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+OUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/spark_graft_bench")
+
+
+def main() -> None:
+    from n8n_tools_api_spark.operators import extract_spans
+    from n8n_tools_api_spark.plans import ORACLE_QUERIES, PIPELINE_QUERIES
+    from n8n_tools_api_spark.session import get_spark
+    from n8n_tools_api_spark.sources import bench_corpus
+
+    spark = get_spark(
+        app_name="n8n-tools-api-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- extraction throughput (the BASELINE.json metric) ---------------
+    corpus = bench_corpus(spark, BENCH_DOCS)  # cached; builds on first run
+    corpus.count()  # materialize scan metadata outside the timed window
+    t0 = time.perf_counter()
+    extract_spans(corpus).write.mode("overwrite").parquet(f"{OUT_DIR}/extracted")
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    # --- headline catalog queries ---------------------------------------
+    for name in (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+        "q10_returned_items", "customer_acctbal_rank", "nation_revenue_rollup",
+        "events_daily", "doc_token_counts", "doc_quality_scores",
+        "exact_dedup_stats", "cosine_topk",
+    ):
+        fn, _ = ORACLE_QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+
+    for name in ("minhash_near_dups", "simhash_near_dups", "ann_ivf_topk"):
+        fn = PIPELINE_QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {
+            "docs": BENCH_DOCS,
+            "seconds": round(extract_sec, 3),
+            "docs_per_sec": round(BENCH_DOCS / extract_sec, 1),
+            "cpus": CPUS,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

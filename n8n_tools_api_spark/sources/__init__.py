@@ -3,6 +3,8 @@ from .synthetic import (
     CANONICAL_JPEG_B64,
     CANONICAL_GIF_B64,
     generate_documents_interleaved,
+    generate_bench_doc,
+    bench_corpus,
     interleaved_df,
     interleaved_from_documents_table,
     SPANS_SCHEMA,
@@ -15,6 +17,8 @@ __all__ = [
     "CANONICAL_JPEG_B64",
     "CANONICAL_GIF_B64",
     "generate_documents_interleaved",
+    "generate_bench_doc",
+    "bench_corpus",
     "interleaved_df",
     "interleaved_from_documents_table",
     "SPANS_SCHEMA",

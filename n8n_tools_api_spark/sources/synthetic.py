@@ -124,18 +124,15 @@ def _pdf_page_span(rng: random.Random, with_headers: bool, big: bool,
     return "\n\n".join(parts)
 
 
-def generate_documents_interleaved(n_docs: int, seed: int = 42) -> list[tuple[str, list[dict]]]:
-    """Generate the deterministic interleaved corpus (pure Python)."""
-    rng = random.Random(seed)
-    docs: list[tuple[str, list[dict]]] = []
-    for d in range(n_docs):
-        doc_id = f"doc_{d:06d}"
-        roll = rng.random()
-        spans: list[dict] = []
+def _gen_doc_spans(rng: random.Random) -> list[dict]:
+    """One document's spans from an rng stream (profile above)."""
+    roll = rng.random()
+    spans: list[dict] = []
 
-        def add(kind: str, text: str) -> None:
-            spans.append({"kind": kind, "text": text, "media_ref": ""})
+    def add(kind: str, text: str) -> None:
+        spans.append({"kind": kind, "text": text, "media_ref": ""})
 
+    if True:
         if roll < 0.80:  # text-only
             n_spans = rng.randint(1, 8)
             toc_doc = rng.random() < 0.08
@@ -184,8 +181,24 @@ def generate_documents_interleaved(n_docs: int, seed: int = 42) -> list[tuple[st
         # …then shuffle the array order on ~30% of docs (W5 re-sort test)
         if rng.random() < 0.30:
             rng.shuffle(spans)
-        docs.append((doc_id, spans))
-    return docs
+    return spans
+
+
+def generate_documents_interleaved(n_docs: int, seed: int = 42) -> list[tuple[str, list[dict]]]:
+    """The golden-fixture corpus: ONE sequential rng stream (seed=42),
+    so fixtures are stable regardless of how many docs a test asks for
+    a prefix of."""
+    rng = random.Random(seed)
+    return [(f"doc_{d:06d}", _gen_doc_spans(rng)) for d in range(n_docs)]
+
+
+def generate_bench_doc(doc_idx: int, seed: int = 42) -> list[dict]:
+    """Per-document independently-seeded generation for the *bench*
+    corpus: rng depends only on (seed, doc_idx), so generation can run
+    distributed across any number of partitions and still be
+    deterministic (TESTDATA.md-style)."""
+    rng = random.Random((seed << 32) ^ (doc_idx * 0x9E3779B97F4A7C15 & 0x7FFFFFFF))
+    return _gen_doc_spans(rng)
 
 
 def interleaved_df(spark: SparkSession, n_docs: int, seed: int = 42,
@@ -204,6 +217,47 @@ def interleaved_df(spark: SparkSession, n_docs: int, seed: int = 42,
     if partitions:
         df = df.repartition(partitions, "doc_id")
     return df
+
+
+def bench_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
+                 partitions: int | None = None,
+                 cache_dir: str = "/tmp/spark_graft_bench") -> DataFrame:
+    """Distributed deterministic bench corpus, cached as parquet.
+
+    Generation is a narrow mapInPandas over ``spark.range`` (per-doc
+    seeding — see generate_bench_doc), parallel across all cores; the
+    parquet cache keys on (n_docs, seed) so repeated bench runs skip
+    generation entirely and both parallelism levels read the SAME bytes.
+    """
+    import os
+
+    path = f"{cache_dir}/corpus_n{n_docs}_s{seed}.parquet"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                ids, spans = [], []
+                for idx in pdf["id"]:
+                    idx = int(idx)
+                    ids.append(f"bdoc_{idx:08d}")
+                    spans.append([
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in generate_bench_doc(idx, seed)
+                    ])
+                yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+        # many small files on purpose: the bench corpus is tiny compared
+        # to a real Iceberg table, and file-granular splits are what let
+        # a local[32] run actually use 32 cores (pair with a reduced
+        # spark.sql.files.maxPartitionBytes when reading)
+        n_gen_parts = partitions or max((os.cpu_count() or 8) * 8, 256)
+        (
+            spark.range(0, n_docs, numPartitions=n_gen_parts)
+            .mapInPandas(gen, schema=INTERLEAVED_SCHEMA)
+            .write.mode("overwrite").parquet(path)
+        )
+    return spark.read.parquet(path)
 
 
 def interleaved_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,193 @@
+"""Operator tests: PDF plans vs refsem, media externalization, dedup,
+similarity — the SURVEY.md §2 surface not covered by the DuckDB oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from n8n_tools_api_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+)
+from n8n_tools_api_spark.operators.media import (
+    apply_media_map,
+    distinct_media_blobs,
+)
+from n8n_tools_api_spark.operators.pdf_plans import (
+    merge_plan,
+    split_batches_plan,
+    split_ranges_plan,
+)
+from n8n_tools_api_spark.operators.similarity import brute_force_topk, ivf_topk
+from n8n_tools_api_spark.operators import extract_spans
+from n8n_tools_api_spark.refsem import (
+    PageRangeError,
+    batch_windows,
+    media_ref_for,
+    merge_interleave_order,
+    parse_page_range,
+    split_output_name,
+)
+from n8n_tools_api_spark.sources import interleaved_df
+from n8n_tools_api_spark.sources.synthetic import (
+    CANONICAL_GIF_B64,
+    CANONICAL_JPEG_B64,
+    CANONICAL_PNG_B64,
+)
+
+
+class TestSplitRangesPlan:
+    CASES = ["1-3", "5", "7-9", "-3", "8-", " 2 - 4 ",
+             "0", "15", "7-3", "a-b", "abc", "1-99", "1--3"]
+
+    def test_matches_refsem(self, spark):
+        reqs = spark.createDataFrame(
+            [("r1", self.CASES, 10)],
+            "req_id string, ranges array<string>, total_pages int",
+        )
+        rows = {r["page_range"]: r for r in split_ranges_plan(reqs).collect()}
+        assert len(rows) == len(self.CASES)
+        for case in self.CASES:
+            row = rows[case]
+            try:
+                lo, hi = parse_page_range(case, 10)
+            except PageRangeError as e:
+                assert row["error"] == str(e), f"error text for {case!r}"
+                assert row["out_name"] is None
+            else:
+                assert row["error"] is None, f"unexpected error for {case!r}: {row['error']}"
+                assert (row["page_lo"], row["page_hi"]) == (lo + 1, hi + 1)
+                assert row["out_name"] == split_output_name(lo, hi)
+
+
+class TestSplitBatchesPlan:
+    @pytest.mark.parametrize("total,bs,fname", [
+        (10, 3, "report.pdf"), (10, 5, "a.b.c.pdf"), (2, 1, "x.pdf"),
+        (7, 7, "exact.pdf"), (5, 100, "big_batch.pdf"), (9, 4, "noext"),
+    ])
+    def test_matches_refsem(self, spark, total, bs, fname):
+        reqs = spark.createDataFrame(
+            [("r", total, bs, fname)],
+            "req_id string, total_pages int, batch_size int, filename string",
+        )
+        got = [r.asDict() for r in
+               split_batches_plan(reqs).orderBy("batch_index").collect()]
+        expected = batch_windows(total, bs, fname)
+        assert [(g["batch_index"], g["out_name"], g["page_lo"], g["page_hi"])
+                for g in got] == \
+            [(e["batch_index"], e["out_name"], e["page_lo"], e["page_hi"])
+             for e in expected]
+
+
+class TestMergePlan:
+    def test_interleave_matches_refsem(self, spark):
+        counts = [3, 1, 2]
+        reqs = spark.createDataFrame(
+            [("m1", "interleave",
+              [(i, n) for i, n in enumerate(counts)])],
+            "req_id string, strategy string, files array<struct<file_idx:int,n_pages:int>>",
+        )
+        got = [(r["file_idx"], r["page_idx"]) for r in
+               merge_plan(reqs).orderBy("out_pos").collect()]
+        assert got == merge_interleave_order(counts)
+
+    def test_append_order(self, spark):
+        reqs = spark.createDataFrame(
+            [("m2", "append", [(0, 2), (1, 1)])],
+            "req_id string, strategy string, files array<struct<file_idx:int,n_pages:int>>",
+        )
+        got = [(r["file_idx"], r["page_idx"]) for r in
+               merge_plan(reqs).orderBy("out_pos").collect()]
+        assert got == [(0, 0), (0, 1), (1, 0)]
+
+
+class TestMedia:
+    def test_distinct_blobs_dedup(self, spark):
+        docs = interleaved_df(spark, 150)
+        blobs = distinct_media_blobs(docs).collect()
+        # only PNG and JPEG survive: the reference's own >50-byte gate
+        # (ocr_response_formatter.py:454-475) excludes its canonical 1x1
+        # GIF fixture (43 decoded bytes) — pipeline and goldens agree
+        refs = sorted(b["media_ref"] for b in blobs)
+        expected = sorted(media_ref_for(b) for b in
+                          (CANONICAL_PNG_B64, CANONICAL_JPEG_B64))
+        assert refs == expected
+        import base64
+        assert len(base64.b64decode(CANONICAL_GIF_B64)) <= 50
+        assert all(b["media_key"] in b["media_ref"] for b in blobs)
+
+    def test_jvm_sha_matches_python(self, spark):
+        docs = interleaved_df(spark, 150)
+        blobs = {b["media_ref"] for b in distinct_media_blobs(docs).collect()}
+        assert media_ref_for(CANONICAL_PNG_B64) in blobs
+
+    def test_apply_media_map_identity_and_fallback(self, spark):
+        docs = interleaved_df(spark, 80)
+        extracted = extract_spans(docs)
+        blobs = distinct_media_blobs(docs)
+        mapped = apply_media_map(extracted, blobs)
+        base = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                for r in extracted.collect()}
+        got = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+               for r in mapped.collect()}
+        assert got == base  # every derived ref is present in the blob table
+        # drop one blob -> its refs must fall back to inline ('')
+        dropped = blobs.orderBy("media_key").limit(blobs.count() - 1)
+        kept_refs = {b["media_ref"] for b in dropped.collect()}
+        got2 = apply_media_map(extracted, dropped).collect()
+        for r in got2:
+            for s in r["spans"]:
+                if s["media_ref"]:
+                    assert s["media_ref"] in kept_refs
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        docs = spark.createDataFrame(
+            [(f"d{i}", " ".join(f"tok{i}w{j}" for j in range(60))) for i in range(30)]
+            + [("d0_copy", " ".join(f"tok0w{j}" for j in range(60)))]       # exact dup of d0
+            + [("d1_near", " ".join(f"tok1w{j}" for j in range(55)))],      # near dup of d1
+            "doc_id string, text string",
+        )
+        return docs
+
+    def test_exact_groups(self, spark, corpus):
+        groups = exact_duplicate_groups(corpus).collect()
+        assert len(groups) == 1
+        assert groups[0]["doc_ids"] == ["d0", "d0_copy"]
+
+    def test_minhash_finds_near_dup(self, spark, corpus):
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in minhash_lsh_candidates(corpus).collect()}
+        assert ("d0", "d0_copy") in pairs
+        assert ("d1", "d1_near") in pairs
+
+    def test_ngram_jaccard_values(self, spark, corpus):
+        rows = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()}
+        assert rows[("d0", "d0_copy")] == 1.0
+        assert 0.8 <= rows[("d1", "d1_near")] < 1.0
+
+    def test_simhash_exact_dup_distance_zero(self, spark, corpus):
+        rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                for r in simhash_hamming_pairs(corpus, max_distance=10).collect()}
+        assert rows[("d0", "d0_copy")] == 0
+
+
+class TestSimilarity:
+    def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = [r["vec_id"] for r in brute_force_topk(emb, 0, k=10).collect()]
+        approx = [r["vec_id"] for r in ivf_topk(emb, 0, k=10, nlist=16, nprobe=4).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.5, f"IVF recall {recall} too low (exact={exact}, approx={approx})"
+
+    def test_brute_force_is_sorted_and_bounded(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = brute_force_topk(emb, 0, k=10).collect()
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(r["vec_id"] != 0 for r in rows)
