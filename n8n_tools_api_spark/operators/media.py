@@ -39,20 +39,14 @@ def distinct_media_blobs(docs: DataFrame, prefix: str = "media") -> DataFrame:
         .select(F.col("s.text").alias("b64"))
         .where(F.col("b64").isNotNull() & (F.col("b64") != ""))
     )
+    from n8n_tools_api_spark.functions import image_ext_col, media_key_col
+
     decoded = images.select(
         F.try_to_binary(F.col("b64"), F.lit("base64")).alias("media_bytes"),
         F.col("b64"),
     ).where(F.col("media_bytes").isNotNull() & (F.length("media_bytes") > 50))
-    ext = (
-        F.when(F.col("b64").startswith("/9j/"), "jpeg")
-        .when(F.col("b64").startswith("iVBORw0KGgo"), "png")
-        .when(F.col("b64").startswith("R0lGODlh"), "gif")
-        .when(F.col("b64").startswith("R0lGODdh"), "gif")
-        .when(F.col("b64").startswith("UklGR"), "webp")
-        .when(F.col("b64").startswith("Qk"), "bmp")
-        .otherwise("bin")
-    )
-    key = F.substring(F.sha2("media_bytes", 256), 1, 16)
+    ext = image_ext_col("b64")
+    key = media_key_col("media_bytes")
     return (
         decoded.select(
             key.alias("media_key"),

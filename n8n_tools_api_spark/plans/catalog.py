@@ -518,6 +518,206 @@ ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# additional TPC-H-style shapes (filter-agg, conditional agg, subquery,
+# having, cube) — SURVEY.md §2.4 coverage
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 analog: pure filter + single aggregate (scan-bound)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01")
+                 & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
+                 & (F.col("l_quantity") < 25))
+        .agg(_money(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 25
+"""
+
+
+def q12_priority_shipmode(spark, sf_dir):
+    """TPC-H Q12 analog: join + conditional (CASE) aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "N")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(high).cast("bigint").alias("high_priority_count"),
+             F.sum(1 - high).cast("bigint").alias("low_priority_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'N'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q14_brand_revenue_share(spark, sf_dir):
+    """TPC-H Q14 analog: conditional revenue share (promo = one brand)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(brand_rev.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"), 4,
+            ).alias("brand1_revenue_percent")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_brand = 'Brand#1'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             4) AS brand1_revenue_percent
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q17_small_quantity_parts(spark, sf_dir):
+    """TPC-H Q17 analog: per-part average-quantity subquery join."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+              / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(_money(F.col("l_extendedprice")).alias("total_price"),
+             F.count("*").alias("n_small"))
+    )
+
+
+Q17_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price,
+       COUNT(*) AS n_small
+FROM lineitem JOIN avg_q ON l_partkey = ap_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 analog: groupBy + HAVING on a sum, top-k tiebroken."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                     .cast("double"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select("o_orderkey", "o_custkey", "total_qty",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(15)
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, total_qty, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) JOIN orders ON l_orderkey = o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 15
+"""
+
+
+def part_brand_size_cube(spark, sf_dir):
+    """CUBE aggregate over part brand x size bucket (SURVEY.md §2.4)."""
+    part = _t(spark, sf_dir, "part")
+    size_bucket = (F.floor(F.col("p_size") / 10) * 10).cast("int")
+    return (
+        part.select("p_brand", size_bucket.alias("size_bucket"), "p_retailprice")
+        .cube("p_brand", "size_bucket")
+        .agg(F.count("*").alias("n_parts"),
+             _money(F.col("p_retailprice")).alias("total_price"))
+        .orderBy(F.asc_nulls_first("p_brand"), F.asc_nulls_first("size_bucket"))
+    )
+
+
+CUBE_SQL = """
+SELECT p_brand, CAST(FLOOR(p_size / 10) * 10 AS INT) AS size_bucket,
+       COUNT(*) AS n_parts,
+       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+FROM part
+GROUP BY CUBE (p_brand, CAST(FLOOR(p_size / 10) * 10 AS INT))
+ORDER BY p_brand ASC NULLS FIRST, size_bucket ASC NULLS FIRST
+"""
+
+
+def events_user_sessions(spark, sf_dir):
+    """Window lag: per-user session starts (>30 min gaps) — SURVEY §2.5."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; route via timestamp_ltz (session tz is
+    # pinned UTC) to epoch seconds — matches DuckDB's epoch(ts)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_start", is_start)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("is_start").cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+SESSIONS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(is_start) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -540,4 +740,11 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "exact_dedup_stats": (exact_dedup_stats, DEDUP_SQL),
     "cosine_topk": (cosine_topk, COSINE_SQL),
     "embedding_label_stats": (embedding_label_stats, NORM_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q14_brand_revenue_share": (q14_brand_revenue_share, Q14_SQL),
+    "q17_small_quantity_parts": (q17_small_quantity_parts, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "part_brand_size_cube": (part_brand_size_cube, CUBE_SQL),
+    "events_user_sessions": (events_user_sessions, SESSIONS_SQL),
 }
