@@ -233,6 +233,71 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes (seeded, no wall clock)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def embedding_lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 12,
+                             seed: int = 7, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket per embedding.
+
+    Each plane is a literal array folded against the embedding with
+    zip_with/aggregate — pure JVM expressions, no UDF; the bucket id is
+    the packed sign bits. Cosine-similar vectors collide with
+    probability (1 - θ/π)^n_planes.
+    """
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(_hyperplanes(n_planes, dim, seed)):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_col,
+                       lambda x, p: x.cast("double") * p),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), i))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+                      sig.alias("lsh_bucket"))
+
+
+def embedding_near_dups(emb: DataFrame, dim: int, threshold: float = 0.95,
+                        n_planes: int = 12, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicates: LSH bucket join + exact verify.
+
+    The candidate join is an equi-join on the bucket id (never a cross
+    join); survivors are re-scored with the exact cosine so the output
+    is threshold-exact, merely recall-approximate.
+    """
+    sig = embedding_lsh_signatures(emb, dim, n_planes, id_col=id_col,
+                                   vec_col=vec_col)
+    a, b = sig.alias("a"), sig.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    cos = dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb)))
+    return (
+        a.join(b, "lsh_bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 4).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Exact dedup groups by content hash (A10, s3_client.py:243-270)."""

@@ -139,6 +139,44 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups via hyperplane LSH + exact verify.
+
+    The sf embeddings are near-orthogonal, so deterministic jittered
+    copies of the first 25 vectors are unioned in — they MUST surface.
+    """
+    from n8n_tools_api_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    jittered = (
+        emb.where(F.col("vec_id") < 25)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+                "label")
+    )
+    corpus = emb.unionByName(jittered)
+    return (
+        embedding_near_dups(corpus, dim=dim, threshold=0.95)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def formatted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's rich formatted-response shape over the synthetic
+    corpus (banners/TOC text, image enrichment, A5-A7 metadata)."""
+    from n8n_tools_api_spark.operators.formatter import format_documents
+    from n8n_tools_api_spark.sources import interleaved_df
+
+    out = format_documents(interleaved_df(spark, 200))
+    return out.select(
+        "doc_id", "total_characters", "estimated_words",
+        F.round("text_density", 4).alias("text_density"),
+        F.round("image_density", 4).alias("image_density"),
+        "language", F.size("images").alias("n_images"),
+    ).orderBy("doc_id")
+
+
 def pdf_split_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF range-split plan over a deterministic request matrix
     (mirrors tests/unit/test_pdf_service.py:51-108 cases)."""
@@ -167,4 +205,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": language_id,
     "multimodal_decode_stats": multimodal_decode_stats,
     "pdf_split_plans": pdf_split_plans,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "formatted_documents": formatted_documents,
 }
