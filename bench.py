@@ -54,7 +54,14 @@ def main() -> None:
 
     # --- extraction throughput (the BASELINE.json metric) ---------------
     corpus = bench_corpus(spark, BENCH_DOCS)  # cached; builds on first run
-    corpus.count()  # materialize scan metadata outside the timed window
+    # size input splits to ~4 task waves per core (a production job sets
+    # this for its cluster; the default 128MB split would serialize the
+    # small bench corpus onto a handful of cores)
+    n_rows = corpus.count()  # materialize scan metadata outside the timed window
+    est_bytes = max(n_rows * 900, 1 << 20)  # ~900B/doc parquet footprint
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(max(est_bytes // (CPUS * 4), 1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
     t0 = time.perf_counter()
     extract_spans(corpus).write.mode("overwrite").parquet(f"{OUT_DIR}/extracted")
     extract_sec = time.perf_counter() - t0
