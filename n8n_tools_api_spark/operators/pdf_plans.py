@@ -117,6 +117,33 @@ def split_batches_plan(requests: DataFrame) -> DataFrame:
     )
 
 
+def merge_info_plan(requests: DataFrame) -> DataFrame:
+    """Merge preview rollup (A2, pdf_service.py:622-688 get_merge_info).
+
+    Input: (req_id, files array<struct<file_idx:int, page_count:int,
+    file_size_bytes:bigint>>). Output mirrors the reference's preview:
+    files_count, total_pages, total sizes, and the x0.95 compressed-size
+    estimate (pdf_service.py:676).
+    """
+    f = (
+        requests.select("req_id", F.explode("files").alias("f"))
+        .select("req_id", F.col("f.page_count").alias("page_count"),
+                F.col("f.file_size_bytes").alias("file_size_bytes"))
+    )
+    total_bytes = F.sum("file_size_bytes")
+    return (
+        f.groupBy("req_id")
+        .agg(
+            F.count("*").alias("files_count"),
+            F.sum("page_count").cast("bigint").alias("total_pages"),
+            total_bytes.cast("bigint").alias("total_size_bytes"),
+            F.round(total_bytes / F.lit(1048576), 2).alias("total_size_mb"),
+            F.round(total_bytes / F.lit(1048576) * 0.95, 2)
+            .alias("estimated_merged_size_mb"),
+        )
+    )
+
+
 def merge_plan(requests: DataFrame, strategy_col: str = "strategy") -> DataFrame:
     """Output page order for merge requests.
 

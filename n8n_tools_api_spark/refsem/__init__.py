@@ -45,6 +45,12 @@ from .pdfops import (
     sanitize_filename,
 )
 from .boilerplate import strip_boilerplate
+from .filetypes import (
+    CONTENT_TYPES,
+    MAGIC_BYTES,
+    detect_file_type,
+    validate_magic_bytes,
+)
 from .pipeline import extract_document, EXTRACT_SPEC_VERSION
 
 __all__ = [
@@ -74,6 +80,10 @@ __all__ = [
     "merge_interleave_order",
     "sanitize_filename",
     "strip_boilerplate",
+    "CONTENT_TYPES",
+    "MAGIC_BYTES",
+    "detect_file_type",
+    "validate_magic_bytes",
     "extract_document",
     "EXTRACT_SPEC_VERSION",
 ]

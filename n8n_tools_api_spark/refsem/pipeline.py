@@ -53,15 +53,28 @@ EXTRACT_SPEC_VERSION = 1
 _PDF_PAGE_PLACEHOLDER = object()
 
 
-def extract_document(spans: list[dict], media_prefix: str = "media") -> list[dict]:
+def extract_document(spans: list[dict], media_prefix: str = "media",
+                     image_limit: int = 50) -> list[dict]:
     """Apply the extraction spec to one document's spans.
 
     ``spans``: list of dicts with keys kind/text/media_ref/offset (extra
     keys ignored). Returns new span dicts with offsets 0..n-1.
+    ``image_limit``: at most this many image spans are processed, in
+    offset order (O2 — the reference's image_limit=50 default,
+    mistral_service.py:297-302 / ocr.py:425-430); excess images drop.
     """
     if not spans:
         return []
     ordered = sorted(spans, key=lambda s: (s.get("offset") or 0))
+    if image_limit is not None:
+        kept, n_img = [], 0
+        for s in ordered:
+            if (s.get("kind") == "image"):
+                n_img += 1
+                if n_img > image_limit:
+                    continue
+            kept.append(s)
+        ordered = kept
 
     pdf_pages: list[dict] = []
     has_input_images = any((s.get("kind") == "image") for s in ordered)

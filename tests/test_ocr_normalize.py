@@ -1,0 +1,140 @@
+"""Official-format normalization + enhanced image records vs refsem
+(FIXTURES.md §5 edge rows: missing fields, no-base64, zero dims)."""
+
+import pytest
+
+from n8n_tools_api_spark.operators.ocr_normalize import (
+    enhanced_images,
+    normalize_official,
+)
+from n8n_tools_api_spark.refsem import (
+    analyze_image_position,
+    detect_file_type,
+    normalize_image_coordinates,
+    validate_magic_bytes,
+)
+
+OCR_SCHEMA = (
+    "doc_id string, "
+    "pages array<struct<index:int, markdown:string, "
+    "images:array<struct<id:string,top_left_x:int,top_left_y:int,"
+    "bottom_right_x:int,bottom_right_y:int,image_base64:string,"
+    "image_annotation:string>>, "
+    "dimensions:struct<dpi:int,height:int,width:int>>>, "
+    "model string, "
+    "usage_info struct<pages_processed:int, doc_size_bytes:bigint>, "
+    "document_annotation string"
+)
+
+
+@pytest.fixture(scope="module")
+def responses(spark):
+    # mirrors the reference formatter fixture page/image values plus
+    # FIXTURES.md §5 edge rows (missing fields, zero-dim pages)
+    rows = [
+        ("ok", [
+            (0, "Page one.", [("img_1_1", 100, 200, 300, 400, "b64==", "Sample")],
+             (200, 792, 612)),
+            (1, "Page two.", [
+                ("img_2_1", 50, 100, 200, 250, "b64b==", ""),
+                ("img_2_2", 400, 500, 550, 650, "", "Logo"),
+            ], (200, 792, 612)),
+        ], "mistral-ocr-latest", (2, 1024000), "ann"),
+        ("defaults", [(None, None, None, (None, None, None))], None, (None, None), None),
+        ("zerodim", [(0, "x", [("i", 10, 10, 20, 20, "d==", "a")], (0, 0, 0))],
+         "m", (1, 10), ""),
+        ("empty", [], "m", (0, 0), ""),
+    ]
+    return spark.createDataFrame(rows, OCR_SCHEMA)
+
+
+class TestNormalizeOfficial:
+    def test_defaults_filled(self, spark, responses):
+        out = {r["doc_id"]: r for r in normalize_official(responses).collect()}
+        d = out["defaults"]
+        page = d["pages"][0]
+        assert page["index"] == 0
+        assert page["markdown"] == ""
+        assert list(page["images"]) == []
+        assert page["dimensions"].asDict() == {"dpi": 0, "height": 0, "width": 0}
+        assert d["model"] == "mistral-ocr-latest"
+        assert d["usage_info"]["pages_processed"] == 1
+        assert d["usage_info"]["doc_size_bytes"] == 0
+        assert d["document_annotation"] == ""
+        assert out["empty"]["usage_info"]["pages_processed"] == 0
+
+    def test_passthrough_preserved(self, spark, responses):
+        out = {r["doc_id"]: r for r in normalize_official(responses).collect()}
+        ok = out["ok"]
+        assert ok["pages"][0]["images"][0]["id"] == "img_1_1"
+        assert ok["usage_info"]["doc_size_bytes"] == 1024000
+
+
+class TestEnhancedImages:
+    def test_matches_refsem_coordinate_math(self, spark, responses):
+        rows = {(r["doc_id"], r["image_id"]): r
+                for r in enhanced_images(responses).collect()}
+        r = rows[("ok", "img_1_1")]
+        ref = normalize_image_coordinates(
+            {"top_left_x": 100, "top_left_y": 200,
+             "bottom_right_x": 300, "bottom_right_y": 400},
+            {"width": 612, "height": 792},
+        )
+        assert r["width"] == ref["dimensions"]["width"]
+        assert r["height"] == ref["dimensions"]["height"]
+        assert r["top_left_x_percent"] == pytest.approx(
+            ref["relative"]["top_left_x_percent"])
+        assert r["width_percent"] == pytest.approx(
+            ref["dimensions"]["width_percent"])
+        pos = analyze_image_position(ref)
+        assert (r["quadrant"], r["relative_size"], r["position_type"]) == \
+            (pos["quadrant"], pos["relative_size"], pos["position_type"])
+
+    def test_sequence_numbers_cross_pages(self, spark, responses):
+        rows = [(r["image_id"], r["sequence_number"], r["page_number"])
+                for r in enhanced_images(responses)
+                .where("doc_id = 'ok'").orderBy("sequence_number").collect()]
+        assert rows == [("img_1_1", 1, 1), ("img_2_1", 2, 2), ("img_2_2", 3, 2)]
+
+    def test_zero_dims_unknown_positions(self, spark, responses):
+        r = enhanced_images(responses).where("doc_id = 'zerodim'").collect()[0]
+        assert r["quadrant"] == "unknown"
+        assert r["relative_size"] == "unknown"
+        assert r["position_type"] == "unknown"
+        assert r["top_left_x_percent"] is None
+
+    def test_quality_flags(self, spark, responses):
+        rows = {r["image_id"]: r for r in
+                enhanced_images(responses).where("doc_id = 'ok'").collect()}
+        assert rows["img_1_1"]["has_annotation"] is True
+        assert rows["img_2_1"]["has_annotation"] is False
+        assert rows["img_2_2"]["has_base64_data"] is False
+
+
+class TestFileTypes:
+    def test_magic_table(self):
+        assert detect_file_type(b"%PDF-1.4 ...") == "pdf"
+        assert detect_file_type(b"\x89PNG\r\n\x1a\n....") == "png"
+        assert detect_file_type(b"\xff\xd8\xff\xe0JFIF") == "jpg"
+        assert detect_file_type(b"II*\x00rest") == "tiff"
+        assert detect_file_type(b"MM\x00*rest") == "tiff"
+        assert detect_file_type(b"PK\x03\x04") == "unknown"
+        assert detect_file_type(b"") == "unknown"
+        assert validate_magic_bytes(b"\xff\xd8\xffdata", "jpeg") is True
+        assert validate_magic_bytes(b"\xff\xd8\xffdata", "docx") is False
+
+
+class TestImageLimit:
+    def test_cap_applied_in_offset_order(self):
+        from n8n_tools_api_spark.refsem import extract_document
+        from n8n_tools_api_spark.sources.synthetic import CANONICAL_PNG_B64
+
+        spans = [{"kind": "image", "text": CANONICAL_PNG_B64, "media_ref": "",
+                  "offset": i} for i in range(55)]
+        out = extract_document(spans)
+        assert len(out) == 50
+        out_unlimited = extract_document(spans, image_limit=None)
+        assert len(out_unlimited) == 55
+        # cap keeps the FIRST 50 by offset, even with shuffled array order
+        shuffled = list(reversed(spans))
+        assert extract_document(shuffled) == out

@@ -102,6 +102,24 @@ class TestMergePlan:
         assert got == [(0, 0), (0, 1), (1, 0)]
 
 
+class TestMergeInfo:
+    def test_matches_reference_rollup(self, spark):
+        from n8n_tools_api_spark.operators.pdf_plans import merge_info_plan
+
+        reqs = spark.createDataFrame(
+            [("m1", [(0, 3, 3_000_000), (1, 7, 7_000_000)])],
+            "req_id string, files array<struct<file_idx:int,page_count:int,"
+            "file_size_bytes:bigint>>",
+        )
+        r = merge_info_plan(reqs).collect()[0]
+        assert r["files_count"] == 2
+        assert r["total_pages"] == 10
+        assert r["total_size_bytes"] == 10_000_000
+        assert r["total_size_mb"] == round(10_000_000 / 1048576, 2)
+        # pdf_service.py:676 — x0.95 compression estimate
+        assert r["estimated_merged_size_mb"] == round(10_000_000 / 1048576 * 0.95, 2)
+
+
 class TestMedia:
     def test_distinct_blobs_dedup(self, spark):
         docs = interleaved_df(spark, 150)
