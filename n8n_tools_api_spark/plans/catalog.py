@@ -395,6 +395,11 @@ def doc_quality_scores(spark, sf_dir):
             F.round(n(r"[0-9]") / length, 4).alias("digit_ratio"),
             F.round(n(r"[.,;:!?]") / length, 4).alias("punct_ratio"),
             F.round(n(r"\s") / length, 4).alias("space_ratio"),
+            F.round(
+                n(r"(?i)\b(the|a|an|and|or|of|to|in|is|it)\b")
+                / F.greatest(F.regexp_count("text", F.lit(r"\S+")).cast("double"),
+                             F.lit(1.0)), 4,
+            ).alias("stopword_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -405,7 +410,10 @@ SELECT doc_id,
        ROUND(len(regexp_extract_all(text, '[A-Za-z]')) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio,
        ROUND(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
        ROUND(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-       ROUND(len(regexp_extract_all(text, '\s')) / CAST(length(text) AS DOUBLE), 4) AS space_ratio
+       ROUND(len(regexp_extract_all(text, '\s')) / CAST(length(text) AS DOUBLE), 4) AS space_ratio,
+       ROUND(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it)\b'))
+             / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0),
+             4) AS stopword_ratio
 FROM documents
 ORDER BY doc_id
 """
