@@ -126,6 +126,17 @@ def enhanced_images(responses: DataFrame) -> DataFrame:
         .otherwise("right-aligned")
     )
 
+    # F9 confidence (service variant, mistral_service.py:768-807) on the
+    # NORMALIZED shape: coords are always present ints post-normalization
+    # (precision 'standard', no coordinate penalty), so confidence =
+    # (0.9 with base64 | 0.7 without) − 0.1 for a blank annotation.
+    has_b64 = F.trim(F.col("im.image_base64")) != ""
+    has_ann = F.trim(F.col("im.image_annotation")) != ""
+    confidence = (
+        F.when(has_b64, F.lit(0.9)).otherwise(F.lit(0.7))
+        - F.when(has_ann, F.lit(0.0)).otherwise(F.lit(0.1))
+    )
+
     return img.select(
         "doc_id",
         F.row_number().over(w).alias("sequence_number"),
@@ -146,4 +157,36 @@ def enhanced_images(responses: DataFrame) -> DataFrame:
         quadrant.alias("quadrant"),
         relative_size.alias("relative_size"),
         position_type.alias("position_type"),
+        F.round(confidence, 4).alias("confidence"),
+    )
+
+
+def document_quality_scores(responses: DataFrame) -> DataFrame:
+    """A4 extraction-quality score per document.
+
+    Parity: mistral_service.py:967-1003 — average over images of
+    0.4·base64 + 0.3·coordinates (always present post-normalization) +
+    0.2·annotation + 0.1·confidence; 0.0 for image-less docs. Pure
+    groupBy over the enhanced-image rows.
+    """
+    imgs = enhanced_images(responses)
+    per_image = (
+        F.when(F.col("has_base64_data"), 0.4).otherwise(0.0)
+        + F.lit(0.3)
+        + F.when(F.col("has_annotation"), 0.2).otherwise(0.0)
+        + F.col("confidence") * 0.1
+    )
+    scored = imgs.groupBy("doc_id").agg(
+        F.round(F.avg(per_image), 4).alias("extraction_quality_score"),
+        F.count("*").alias("n_images"),
+    )
+    all_docs = responses.select("doc_id")
+    return (
+        all_docs.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("extraction_quality_score", F.lit(0.0))
+            .alias("extraction_quality_score"),
+            F.coalesce("n_images", F.lit(0).cast("bigint")).alias("n_images"),
+        )
     )

@@ -31,6 +31,8 @@ from .images import (
     normalize_image_coordinates,
     analyze_image_position,
     assess_image_quality,
+    assess_mistral_image_quality,
+    extraction_quality_score,
     classify_image_span,
     media_ref_for,
 )
@@ -69,6 +71,8 @@ __all__ = [
     "normalize_image_coordinates",
     "analyze_image_position",
     "assess_image_quality",
+    "assess_mistral_image_quality",
+    "extraction_quality_score",
     "classify_image_span",
     "media_ref_for",
     "PageRangeError",

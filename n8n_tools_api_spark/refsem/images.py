@@ -208,6 +208,66 @@ def assess_image_quality(image_data: dict) -> dict:
     return quality
 
 
+def assess_mistral_image_quality(image: dict, base64_data: str | None) -> dict:
+    """Service-variant quality model with the confidence arithmetic.
+
+    Parity: mistral_service.py:768-807 (_assess_mistral_image_quality):
+    base 0.9 (0.7 without base64 + completeness 'coordinates_only'),
+    −0.1 for blank annotation, coordinate precision high/standard/low/
+    none with −0.2 (non-numeric) / −0.3 (missing) penalties, clamped to
+    [0, 1]. ``image`` carries flat coordinate keys + image_annotation.
+    """
+    quality = {
+        "confidence": 0.9,
+        "completeness": "complete",
+        "clarity": "excellent",
+        "source_quality": "native_api",
+    }
+    if not base64_data:
+        quality["confidence"] = 0.7
+        quality["completeness"] = "coordinates_only"
+    if not (image.get("image_annotation") or "").strip():
+        quality["confidence"] -= 0.1
+    coords = (image.get("top_left_x"), image.get("top_left_y"),
+              image.get("bottom_right_x"), image.get("bottom_right_y"))
+    if all(c is not None for c in coords):
+        if all(isinstance(c, (int, float)) for c in coords):
+            quality["coordinate_precision"] = (
+                "high" if any(isinstance(c, float) for c in coords) else "standard"
+            )
+        else:
+            quality["coordinate_precision"] = "low"
+            quality["confidence"] -= 0.2
+    else:
+        quality["coordinate_precision"] = "none"
+        quality["confidence"] -= 0.3
+    quality["confidence"] = max(0.0, min(1.0, quality["confidence"]))
+    return quality
+
+
+def extraction_quality_score(extracted_images: list[dict]) -> float:
+    """Weighted completeness score over a document's images.
+
+    Parity: mistral_service.py:967-1003 (_calculate_extraction_quality_
+    score): 0.4 base64 + 0.3 coordinates + 0.2 annotation +
+    0.1 x confidence, averaged; 0.0 for image-less documents.
+    """
+    if not extracted_images:
+        return 0.0
+    total = 0.0
+    for image in extracted_images:
+        score = 0.0
+        if image.get("base64_data"):
+            score += 0.4
+        if image.get("coordinates"):
+            score += 0.3
+        if (image.get("annotation") or "").strip():
+            score += 0.2
+        score += (image.get("extraction_quality", {}).get("confidence", 0.0)) * 0.1
+        total += score
+    return total / len(extracted_images)
+
+
 def media_ref_for(base64_data: str, prefix: str = "media") -> str:
     """Deterministic content-addressed media reference.
 

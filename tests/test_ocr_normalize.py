@@ -111,6 +111,67 @@ class TestEnhancedImages:
         assert rows["img_2_2"]["has_base64_data"] is False
 
 
+class TestQualityModel:
+    def test_refsem_confidence_arithmetic(self):
+        from n8n_tools_api_spark.refsem import assess_mistral_image_quality
+
+        full = assess_mistral_image_quality(
+            {"image_annotation": "note", "top_left_x": 1, "top_left_y": 2,
+             "bottom_right_x": 3, "bottom_right_y": 4}, "b64")
+        assert full["confidence"] == 0.9
+        assert full["coordinate_precision"] == "standard"
+        no_b64 = assess_mistral_image_quality(
+            {"image_annotation": "note", "top_left_x": 1, "top_left_y": 2,
+             "bottom_right_x": 3, "bottom_right_y": 4}, None)
+        assert no_b64["confidence"] == 0.7
+        assert no_b64["completeness"] == "coordinates_only"
+        no_ann = assess_mistral_image_quality(
+            {"image_annotation": " ", "top_left_x": 1.5, "top_left_y": 2,
+             "bottom_right_x": 3, "bottom_right_y": 4}, "b64")
+        assert no_ann["confidence"] == pytest.approx(0.8)
+        assert no_ann["coordinate_precision"] == "high"
+        no_coords = assess_mistral_image_quality({"image_annotation": ""}, None)
+        assert no_coords["confidence"] == pytest.approx(0.3)
+        assert no_coords["coordinate_precision"] == "none"
+
+    def test_spark_confidence_matches_refsem_on_normalized_rows(self, spark, responses):
+        from n8n_tools_api_spark.refsem import assess_mistral_image_quality
+
+        rows = {(r["doc_id"], r["image_id"]): r
+                for r in enhanced_images(responses).collect()}
+        cases = {
+            ("ok", "img_1_1"): ("b64==", "Sample"),
+            ("ok", "img_2_1"): ("b64b==", ""),
+            ("ok", "img_2_2"): ("", "Logo"),
+        }
+        for key, (b64, ann) in cases.items():
+            ref = assess_mistral_image_quality(
+                {"image_annotation": ann, "top_left_x": 1, "top_left_y": 1,
+                 "bottom_right_x": 2, "bottom_right_y": 2}, b64 or None)
+            assert rows[key]["confidence"] == pytest.approx(ref["confidence"]), key
+
+    def test_document_scores_match_refsem(self, spark, responses):
+        from n8n_tools_api_spark.operators.ocr_normalize import document_quality_scores
+        from n8n_tools_api_spark.refsem import extraction_quality_score
+
+        got = {r["doc_id"]: r for r in document_quality_scores(responses).collect()}
+        # refsem composition for the 'ok' doc (coordinates always present
+        # post-normalization)
+        imgs = [
+            {"base64_data": "b64==", "coordinates": {"x": 1}, "annotation": "Sample",
+             "extraction_quality": {"confidence": 0.9}},
+            {"base64_data": "b64b==", "coordinates": {"x": 1}, "annotation": "",
+             "extraction_quality": {"confidence": 0.8}},
+            {"base64_data": "", "coordinates": {"x": 1}, "annotation": "Logo",
+             "extraction_quality": {"confidence": 0.7}},
+        ]
+        assert got["ok"]["extraction_quality_score"] == pytest.approx(
+            round(extraction_quality_score(imgs), 4))
+        assert got["empty"]["extraction_quality_score"] == 0.0
+        assert got["empty"]["n_images"] == 0
+        assert extraction_quality_score([]) == 0.0
+
+
 class TestFileTypes:
     def test_magic_table(self):
         assert detect_file_type(b"%PDF-1.4 ...") == "pdf"
