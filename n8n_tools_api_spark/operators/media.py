@@ -67,6 +67,32 @@ def write_blob_table(blobs: DataFrame, path: str) -> None:
     blobs.write.mode("overwrite").parquet(path)
 
 
+def media_upload_stats(extracted: DataFrame, blobs: DataFrame) -> DataFrame:
+    """A8 upload success-rate rollup (ocr_s3_processor.py:647-656).
+
+    detected = spans carrying a media_ref; uploaded = refs present in
+    the blob table; failed = the difference; success_rate = uploaded /
+    detected (1.0 when nothing was detected, mirroring the reference's
+    guard).
+    """
+    refs = (
+        extracted.select(F.explode("spans").alias("s"))
+        .where(F.col("s.media_ref") != "")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+    known = F.broadcast(blobs.select(F.col("media_ref").alias("_known_ref")))
+    joined = refs.join(known, refs.media_ref == F.col("_known_ref"), "left")
+    return joined.agg(
+        F.count("*").alias("detected"),
+        F.count("_known_ref").alias("uploaded"),
+        (F.count("*") - F.count("_known_ref")).alias("failed"),
+        F.round(
+            F.when(F.count("*") > 0, F.count("_known_ref") / F.count("*"))
+            .otherwise(F.lit(1.0)), 4,
+        ).alias("success_rate"),
+    )
+
+
 def apply_media_map(extracted: DataFrame, blobs: DataFrame,
                     fallback_to_inline: bool = True) -> DataFrame:
     """Broadcast-join uploaded refs back onto extracted spans (J2/F16).

@@ -160,6 +160,27 @@ class TestMedia:
                     assert s["media_ref"] in kept_refs
 
 
+class TestMediaUploadStats:
+    def test_success_rate(self, spark):
+        from n8n_tools_api_spark.operators.media import media_upload_stats
+
+        docs = interleaved_df(spark, 80)
+        extracted = extract_spans(docs)
+        blobs = distinct_media_blobs(docs)
+        full = media_upload_stats(extracted, blobs).collect()[0]
+        assert full["detected"] > 0
+        assert full["failed"] == 0
+        assert full["success_rate"] == 1.0
+        # drop one blob → its refs count as failed
+        partial = media_upload_stats(
+            extracted, blobs.orderBy("media_key").limit(blobs.count() - 1)
+        ).collect()[0]
+        assert partial["failed"] > 0
+        assert partial["uploaded"] + partial["failed"] == partial["detected"]
+        assert partial["success_rate"] == round(
+            partial["uploaded"] / partial["detected"], 4)
+
+
 class TestDedup:
     @pytest.fixture(scope="class")
     def corpus(self, spark):
