@@ -667,6 +667,77 @@ LIMIT 15
 """
 
 
+def orders_with_returns_semi(spark, sf_dir):
+    """Semi-join (EXISTS): orders having at least one returned lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             _money(F.col("o_totalprice")).alias("total_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SEMI_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def customers_without_orders_anti(spark, sf_dir):
+    """Anti-join (NOT EXISTS): customers who never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey",
+                F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 analog: OR-of-AND predicate blocks across a join —
+    exercises Catalyst's CNF pushdown of the shared join condition."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) \
+        & (F.col("l_quantity") >= 10)
+    block2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) \
+        & (F.col("l_quantity") >= 5)
+    block3 = (F.col("p_type").startswith("STANDARD")) & (F.col("l_discount") < 0.05)
+    return joined.where(block1 | block2 | block3).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 5)
+   OR (p_type LIKE 'STANDARD%' AND l_discount < 0.05)
+"""
+
+
 def part_brand_size_cube(spark, sf_dir):
     """CUBE aggregate over part brand x size bucket (SURVEY.md §2.4)."""
     part = _t(spark, sf_dir, "part")
@@ -725,6 +796,48 @@ ORDER BY user_id
 """
 
 
+def event_sessions_full(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator): full session records with epoch-microsecond bounds."""
+    from n8n_tools_api_spark.streaming.stateful import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp_ltz")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp_ltz")).alias("end_us"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "start_us")
+
+
+SESSIONS_FULL_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) AS end_us,
+       CAST(COUNT(*) AS INT) AS n_events,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, start_us
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -755,4 +868,8 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "part_brand_size_cube": (part_brand_size_cube, CUBE_SQL),
     "events_user_sessions": (events_user_sessions, SESSIONS_SQL),
+    "orders_with_returns_semi": (orders_with_returns_semi, SEMI_SQL),
+    "customers_without_orders_anti": (customers_without_orders_anti, ANTI_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "event_sessions_full": (event_sessions_full, SESSIONS_FULL_SQL),
 }
