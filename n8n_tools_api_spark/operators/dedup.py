@@ -113,6 +113,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # the self-join would otherwise recompute the whole shingle→signature
+    # pipeline for both sides; one materialization halves the work (and
+    # at cluster scale avoids re-reading the corpus)
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -185,3 +185,20 @@ def calculate_confidence_score(page_texts: list[str]) -> float | None:
 def estimated_words(total_chars: int) -> int:
     """Parity: ocr_response_formatter.py:608 — ``total_chars // 5``."""
     return total_chars // 5 if total_chars > 0 else 0
+
+
+def processing_efficiency(processing_time_ms: float) -> str:
+    """Processing-efficiency tier for a document's wall time.
+
+    Parity: ocr_response_formatter.py:800-809 — excellent <5 s,
+    good <15 s, average <30 s, slow otherwise. Wall clock itself is
+    excluded from the equality surface (SURVEY.md §2.8 note); only the
+    classification function is ported, applied to lineage wall_ms.
+    """
+    if processing_time_ms < 5000:
+        return "excellent"
+    if processing_time_ms < 15000:
+        return "good"
+    if processing_time_ms < 30000:
+        return "average"
+    return "slow"

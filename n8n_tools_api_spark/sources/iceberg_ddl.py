@@ -1,0 +1,104 @@
+"""Iceberg table DDL + writer helpers for cluster deployment.
+
+The sandbox has no Iceberg runtime jar, so local tests run against a
+parquet warehouse (see session.py). This module is the deployment
+contract: the exact DDL / write calls a cluster run issues once the
+catalog from ``session.iceberg_configs`` is attached. Partitioning
+follows SURVEY.md §4: ``bucket(doc_id)`` for pruning + balanced
+parallelism (10^12 docs / 4096 buckets ≈ 250M docs per bucket, further
+split by file), and the lineage table is the MERGE target that replaces
+the parquet commit-marker protocol in operators/lineage.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CATALOG = "engine"
+
+DOCUMENTS_INTERLEAVED_DDL = f"""
+CREATE TABLE IF NOT EXISTS {CATALOG}.db.documents_interleaved (
+  doc_id STRING,
+  spans  ARRAY<STRUCT<kind:STRING, text:STRING, media_ref:STRING, offset:INT>>
+)
+USING iceberg
+PARTITIONED BY (bucket(4096, doc_id))
+TBLPROPERTIES (
+  'write.target-file-size-bytes' = '268435456',
+  'write.distribution-mode' = 'hash',
+  'format-version' = '2'
+)
+"""
+
+EXTRACTED_SPANS_DDL = DOCUMENTS_INTERLEAVED_DDL.replace(
+    "documents_interleaved", "extracted_spans"
+)
+
+MEDIA_BLOBS_DDL = f"""
+CREATE TABLE IF NOT EXISTS {CATALOG}.db.media_blobs (
+  media_key STRING,
+  media_ref STRING,
+  ext STRING,
+  media_bytes BINARY
+)
+USING iceberg
+PARTITIONED BY (truncate(2, media_key))
+TBLPROPERTIES ('write.target-file-size-bytes' = '536870912')
+"""
+
+LINEAGE_DDL = f"""
+CREATE TABLE IF NOT EXISTS {CATALOG}.db.extraction_lineage (
+  run_id STRING,
+  bucket INT,
+  doc_count BIGINT,
+  span_count BIGINT,
+  media_ref_count BIGINT,
+  wall_ms BIGINT
+)
+USING iceberg
+"""
+
+# idempotent per-bucket commit (replaces parquet append in lineage.py)
+LINEAGE_MERGE = f"""
+MERGE INTO {CATALOG}.db.extraction_lineage t
+USING lineage_updates u
+ON t.run_id = u.run_id AND t.bucket = u.bucket
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg catalog is attached (cluster deployment)."""
+    try:
+        spark.sql(f"SHOW NAMESPACES IN {CATALOG}")
+        return True
+    except Exception:
+        return False
+
+
+def create_tables(spark: SparkSession) -> None:
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {CATALOG}.db")
+    for ddl in (DOCUMENTS_INTERLEAVED_DDL, EXTRACTED_SPANS_DDL,
+                MEDIA_BLOBS_DDL, LINEAGE_DDL):
+        spark.sql(ddl)
+
+
+def write_extracted(spark: SparkSession, extracted: DataFrame,
+                    parquet_fallback: str) -> None:
+    """Iceberg append when the catalog is up; parquet otherwise."""
+    if iceberg_available(spark):
+        extracted.writeTo(f"{CATALOG}.db.extracted_spans").append()
+    else:
+        extracted.write.mode("overwrite").parquet(parquet_fallback)
+
+
+def commit_lineage(spark: SparkSession, stats: DataFrame,
+                   parquet_fallback: str) -> None:
+    """Atomic lineage commit: Iceberg MERGE on cluster, parquet append
+    (single-file atomicity) locally — same call-site either way."""
+    if iceberg_available(spark):
+        stats.createOrReplaceTempView("lineage_updates")
+        spark.sql(LINEAGE_MERGE)
+    else:
+        stats.write.mode("append").parquet(parquet_fallback)

@@ -121,6 +121,42 @@ class TestExtractDocumentProperties:
         assert all(isinstance(s["text"], str) for s in out)
 
 
+class TestPdfParseProperties:
+    # PDF string objects are latin-1-representable by construction
+    pdf_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+        max_size=120,
+    )
+
+    @given(st.lists(pdf_text, min_size=1, max_size=8))
+    @settings(max_examples=80, deadline=None)
+    def test_build_parse_round_trip(self, texts):
+        from n8n_tools_api_spark.refsem.pdfparse import build_pdf, parse_pdf_pages
+
+        assert parse_pdf_pages(build_pdf(texts)) == texts
+
+    @given(st.lists(pdf_text, min_size=1, max_size=4))
+    @settings(max_examples=40, deadline=None)
+    def test_compressed_round_trip(self, texts):
+        from n8n_tools_api_spark.refsem.pdfparse import build_pdf, parse_pdf_pages
+
+        assert parse_pdf_pages(build_pdf(texts, compress=True)) == texts
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=150, deadline=None)
+    def test_garbage_never_crashes(self, blob):
+        from n8n_tools_api_spark.refsem.pdfparse import (
+            PdfParseError, parse_pdf_pages, validate_pdf_bytes,
+        )
+
+        try:
+            pages = parse_pdf_pages(blob)
+        except PdfParseError:
+            return
+        assert validate_pdf_bytes(blob)
+        assert isinstance(pages, list)
+
+
 class TestBoilerplateProperties:
     @given(st.text(max_size=300))
     @settings(max_examples=150, deadline=None)

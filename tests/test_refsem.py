@@ -331,6 +331,35 @@ class TestMergeOrders:
         assert merge_interleave_order([]) == []
 
 
+class TestSanitizeFilename:
+    def test_basic(self):
+        from n8n_tools_api_spark.refsem import sanitize_filename
+
+        assert sanitize_filename("report.pdf") == "report.pdf"
+        assert sanitize_filename("a b*c?.pdf") == "a_b_c_.pdf"
+        assert sanitize_filename("dir/sub/file.pdf") == "file.pdf"
+        assert sanitize_filename("windows\\path\\doc.pdf") == "doc.pdf"
+        assert sanitize_filename("noext") == "noext.pdf"
+        assert sanitize_filename("", fallback="d42") == "d42.pdf"
+        assert sanitize_filename(".hidden", fallback="d42") == "d42.pdf"
+        long = sanitize_filename("x" * 300 + ".pdf")
+        assert len(long) <= 255 and long.endswith(".pdf")
+
+
+class TestProcessingEfficiency:
+    def test_tiers(self):
+        from n8n_tools_api_spark.refsem.textclean import processing_efficiency
+
+        # ocr_response_formatter.py:800-809 thresholds
+        assert processing_efficiency(0) == "excellent"
+        assert processing_efficiency(4999) == "excellent"
+        assert processing_efficiency(5000) == "good"
+        assert processing_efficiency(14999) == "good"
+        assert processing_efficiency(15000) == "average"
+        assert processing_efficiency(29999) == "average"
+        assert processing_efficiency(30000) == "slow"
+
+
 class TestBoilerplate:
     def test_nav_footer_dropped_main_kept(self):
         html = (
