@@ -69,14 +69,20 @@ def extract_spans(docs: DataFrame) -> DataFrame:
 
 
 def salted_repartition(docs: DataFrame, num_partitions: int,
-                       heavy_threshold: int = 20, salt_buckets: int = 8) -> DataFrame:
+                       partition_cols: tuple[str, ...] = ("doc_id",),
+                       heavy_threshold: int = 20,
+                       salt_buckets: int = 32) -> DataFrame:
     """Skew-aware repartition for media-heavy documents (SURVEY.md §4).
 
-    Documents with many image spans are ~50x more expensive in the
-    extraction UDF; hashing on doc_id alone lets a run of heavy docs
-    land on one task. We salt the partition key by image-span count
-    bucket so heavy docs spread across ``salt_buckets`` partitions.
-    Pure column expressions — Catalyst folds this into one exchange.
+    Media-heavy docs (30-50 image spans) cost ~50x a text doc in the
+    extraction UDF, and upstream layouts CLUSTER them — same crawl
+    source, same ingest batch — so partitioning by the natural key
+    (source, batch, host prefix) runs the stage at the speed of the
+    tail task. This keeps ``partition_cols`` in the key (preserving
+    whatever co-location the caller wanted) but salts heavy documents
+    by a per-doc hash so each heavy cluster spreads across up to
+    ``salt_buckets`` tasks. Pure column expressions — one exchange.
+    See scripts/skew_report.py for the measured A/B.
     """
     img_count = F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image")))
     salt = F.when(
@@ -85,7 +91,8 @@ def salted_repartition(docs: DataFrame, num_partitions: int,
     ).otherwise(F.lit(0))
     return (
         docs.withColumn("_salt", salt)
-        .repartition(num_partitions, F.col("doc_id"), F.col("_salt"))
+        .repartition(num_partitions, *[F.col(c) for c in partition_cols],
+                     F.col("_salt"))
         .drop("_salt")
     )
 
