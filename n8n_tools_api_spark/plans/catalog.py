@@ -838,6 +838,62 @@ ORDER BY user_id, start_us
 """
 
 
+def extract_clean_fingerprints(spark, sf_dir):
+    """END-TO-END PIPELINE ORACLE: the real mapInPandas extraction over
+    the documents table (each row wrapped as a one-span interleaved
+    doc), fingerprinted per output span.
+
+    The DuckDB oracle replays the F1 cleaning pass
+    (ocr_response_formatter.py:148-173) as six nested RE2
+    regexp_replace calls — verified byte-identical to Python ``re`` on
+    this corpus (ASCII-regex surface), so the driver's value-hash
+    checks the pandas-UDF pipeline itself, not just relational algebra.
+    """
+    from n8n_tools_api_spark.operators import extract_spans
+    from n8n_tools_api_spark.sources import interleaved_from_documents_table
+
+    docs = interleaved_from_documents_table(spark, sf_dir)
+    out = extract_spans(docs)
+    span = F.explode("spans").alias("s")
+    return (
+        out.select("doc_id", span)
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.length("s.text").cast("bigint").alias("clean_chars"),
+            F.md5(F.col("s.text").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_CLEAN_SQL = r"""
+WITH cleaned AS (
+  SELECT 'tdoc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '\n\s*\n\s*\n', '\n\n', 'g'),
+                   '[ \t]+', ' ', 'g'),
+                 '([a-z])([A-Z])', '\1 \2', 'g'),
+               '([0-9]+)([A-Za-z])', '\1 \2', 'g'),
+             '\s+([.!?,:;])', '\1', 'g'),
+           '([.!?])\s*([A-Z])', '\1 \2', 'g')
+         ) AS cleaned
+  FROM documents
+)
+SELECT doc_id, 'text' AS kind,
+       CAST(length(cleaned) AS BIGINT) AS clean_chars,
+       md5(cleaned) AS clean_md5
+FROM cleaned
+WHERE cleaned != ''
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -872,4 +928,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "customers_without_orders_anti": (customers_without_orders_anti, ANTI_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "event_sessions_full": (event_sessions_full, SESSIONS_FULL_SQL),
+    "extract_clean_fingerprints": (extract_clean_fingerprints, EXTRACT_CLEAN_SQL),
 }
