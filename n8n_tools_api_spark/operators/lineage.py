@@ -96,8 +96,11 @@ def resumable_extract(
             .parquet(data_path)
         )
         wall_ms = int((time.perf_counter() - t0) * 1000)
+        # stats come from the parquet just written — recomputing from
+        # `out` would run the extraction UDF a second time per group
+        written = spark.read.parquet(data_path).where(F.col("bucket").isin(group))
         stats = (
-            out.groupBy("bucket")
+            written.groupBy("bucket")
             .agg(
                 F.count("*").alias("doc_count"),
                 F.sum(F.size("spans")).alias("span_count"),
