@@ -88,33 +88,47 @@ def resumable_extract(
         subset = bucketed.where(F.col("bucket").isin(group))
         extracted = extract_spans(subset.drop("bucket"))
         # re-derive the bucket on the output (doc_id is stable) so the
-        # fat spans column never carries an extra shuffle
-        out = _with_bucket(extracted, n_buckets)
-        (
-            out.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(data_path)
-        )
-        wall_ms = int((time.perf_counter() - t0) * 1000)
-        # stats come from the parquet just written — recomputing from
-        # `out` would run the extraction UDF a second time per group
-        written = spark.read.parquet(data_path).where(F.col("bucket").isin(group))
-        stats = (
-            written.groupBy("bucket")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum(F.size("spans")).alias("span_count"),
-                F.sum(
-                    F.size(F.filter("spans", lambda s: s["media_ref"] != F.lit("")))
-                ).alias("media_ref_count"),
+        # fat spans column never carries an extra shuffle; persist so the
+        # stats pass below reuses the write's computation instead of
+        # running the extraction UDF a second time. Stats intentionally
+        # come from `out`, NOT a read-back of data_path: a read-back
+        # crashes on empty groups and attributes stale bucket dirs from
+        # a previous run_id to this run's lineage.
+        out = _with_bucket(extracted, n_buckets).persist()
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(data_path)
             )
-            .select(
-                F.lit(run_id).alias("run_id"), "bucket", "doc_count",
-                "span_count", "media_ref_count",
-                F.lit(wall_ms).cast("bigint").alias("wall_ms"),
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            agg = (
+                out.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("doc_count"),
+                    F.sum(F.size("spans")).alias("span_count"),
+                    F.sum(
+                        F.size(F.filter("spans", lambda s: s["media_ref"] != F.lit("")))
+                    ).alias("media_ref_count"),
+                )
             )
-        )
-        stats.write.mode("append").parquet(lineage_path)
+            # explicit zero rows for buckets with no documents, so empty
+            # buckets COMMIT and resume skips them too
+            group_df = spark.createDataFrame([(b,) for b in group], "bucket int")
+            stats = (
+                group_df.join(agg, "bucket", "left")
+                .select(
+                    F.lit(run_id).alias("run_id"), "bucket",
+                    F.coalesce("doc_count", F.lit(0)).cast("bigint").alias("doc_count"),
+                    F.coalesce("span_count", F.lit(0)).cast("bigint").alias("span_count"),
+                    F.coalesce("media_ref_count", F.lit(0)).cast("bigint")
+                    .alias("media_ref_count"),
+                    F.lit(wall_ms).cast("bigint").alias("wall_ms"),
+                )
+            )
+            stats.write.mode("append").parquet(lineage_path)
+        finally:
+            out.unpersist()
         processed.extend(group)
     return {"processed_buckets": processed, "skipped_buckets": sorted(done)}
 

@@ -58,6 +58,42 @@ class TestResumableExtract:
         assert res["skipped_buckets"] == [0, 1, 2, 3]
 
 
+class TestLineageEdgeCases:
+    def test_sparse_input_commits_empty_buckets(self, spark, tmp_path):
+        """Review finding: a group whose buckets hold no docs must not
+        crash (no parquet read-back) and must still COMMIT so resume
+        skips it."""
+        docs = interleaved_df(spark, 3)  # 3 docs over 16 buckets
+        out = str(tmp_path / "sparse")
+        res = resumable_extract(spark, docs, out, run_id="sparse",
+                                n_buckets=16, group_size=4)
+        assert len(res["processed_buckets"]) == 16
+        # every bucket has a lineage row, incl. zero-doc ones
+        lin = spark.read.parquet(f"{out}/_lineage")
+        rows = {r["bucket"]: r["doc_count"] for r in lin.collect()}
+        assert len(rows) == 16
+        assert sum(rows.values()) == 3
+        # rerun: everything skipped, nothing reprocessed
+        res2 = resumable_extract(spark, docs, out, run_id="sparse",
+                                 n_buckets=16, group_size=4)
+        assert res2["processed_buckets"] == []
+
+    def test_new_run_id_does_not_inherit_stale_partitions(self, spark, tmp_path):
+        """Review finding: reusing out_dir with a new run_id over input
+        missing a bucket must not attribute the old run's rows to the
+        new run's lineage."""
+        out = str(tmp_path / "reuse")
+        docs_a = interleaved_df(spark, 60)
+        resumable_extract(spark, docs_a, out, run_id="A", n_buckets=4,
+                          group_size=4)
+        docs_b = interleaved_df(spark, 6)  # much sparser input
+        resumable_extract(spark, docs_b, out, run_id="B", n_buckets=4,
+                          group_size=4)
+        lin = spark.read.parquet(f"{out}/_lineage")
+        b_total = sum(r["doc_count"] for r in lin.where("run_id = 'B'").collect())
+        assert b_total == 6  # only run B's own docs, never run A's
+
+
 class TestIncrementalExtract:
     def test_only_new_files_are_processed(self, spark, tmp_path):
         inp = str(tmp_path / "incoming")
