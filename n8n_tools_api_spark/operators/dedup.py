@@ -113,10 +113,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # the self-join would otherwise recompute the whole shingle→signature
-    # pipeline for both sides; one materialization halves the work (and
-    # at cluster scale avoids re-reading the corpus)
-    banded = banded.persist()
+    # NOTE: the self-join recomputes the shingle→signature pipeline for
+    # both sides; at cluster scale, persist()/checkpoint the banded DF
+    # caller-side before candidate generation. No persist here — a
+    # library function can't unpersist safely and leaked cache blocks
+    # accumulate across calls (review finding).
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -280,18 +281,12 @@ def embedding_near_dups(emb: DataFrame, dim: int, threshold: float = 0.95,
     join); survivors are re-scored with the exact cosine so the output
     is threshold-exact, merely recall-approximate.
     """
+    from .similarity import cosine_similarity_col
+
     sig = embedding_lsh_signatures(emb, dim, n_planes, id_col=id_col,
                                    vec_col=vec_col)
     a, b = sig.alias("a"), sig.alias("b")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-
-    ea, eb = F.col("a.embedding"), F.col("b.embedding")
-    cos = dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb)))
+    cos = cosine_similarity_col(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, "lsh_bucket")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))

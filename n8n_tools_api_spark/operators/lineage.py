@@ -25,6 +25,8 @@ append relies on parquet-file atomicity (each append is one new file).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +79,13 @@ def resumable_extract(
 
     bucketed = _with_bucket(docs, n_buckets)
     done = committed_buckets(spark, lineage_path, run_id)
+    # fresh run over a reused out_dir: clear stale bucket directories a
+    # previous run_id left behind — dynamic overwrite only replaces
+    # partitions THIS run writes, so an empty bucket would otherwise
+    # expose the old run's documents through read_extracted (review
+    # finding). Mid-run resume (done non-empty) must NOT clear.
+    if not done and os.path.isdir(data_path):
+        shutil.rmtree(data_path)
     todo = [b for b in range(n_buckets) if b not in done]
     groups = [todo[i:i + group_size] for i in range(0, len(todo), group_size)]
 
@@ -101,7 +110,10 @@ def resumable_extract(
                 .partitionBy("bucket")
                 .parquet(data_path)
             )
-            wall_ms = int((time.perf_counter() - t0) * 1000)
+            # amortized per bucket so lineage_metrics' sum reflects the
+            # run's true wall time (review finding: stamping the full
+            # group wall on every bucket overcounted by group_size x)
+            wall_ms = int((time.perf_counter() - t0) * 1000 / max(len(group), 1))
             agg = (
                 out.groupBy("bucket")
                 .agg(

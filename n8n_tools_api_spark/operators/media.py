@@ -105,23 +105,33 @@ def apply_media_map(extracted: DataFrame, blobs: DataFrame,
     media_map = F.broadcast(
         blobs.select(F.col("media_ref").alias("_known_ref"))
     )
+    # posexplode_outer: documents whose spans cleaned to [] must survive
+    # this stage (review finding — plain posexplode dropped their rows)
     spans = (
-        extracted.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        extracted.select("doc_id", F.posexplode_outer("spans").alias("pos", "s"))
         .join(media_map, F.col("s.media_ref") == F.col("_known_ref"), "left")
     )
     new_ref = F.when(F.col("_known_ref").isNotNull(), F.col("s.media_ref")) \
         .otherwise(F.lit("") if fallback_to_inline else F.lit(None))
     rebuilt = spans.select(
         "doc_id", "pos",
-        F.struct(
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.when(F.col("s.media_ref") == "", "").otherwise(new_ref).alias("media_ref"),
-            F.col("s.offset").alias("offset"),
+        F.when(
+            F.col("s").isNotNull(),
+            F.struct(
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.when(F.col("s.media_ref") == "", "").otherwise(new_ref).alias("media_ref"),
+                F.col("s.offset").alias("offset"),
+            ),
         ).alias("s"),
     )
     return (
         rebuilt.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
-        .select("doc_id", F.transform("ps", lambda x: x["s"]).alias("spans"))
+        .select(
+            "doc_id",
+            F.filter(
+                F.transform("ps", lambda x: x["s"]), lambda s: s.isNotNull()
+            ).alias("spans"),
+        )
     )

@@ -37,9 +37,15 @@ def split_ranges_plan(requests: DataFrame) -> DataFrame:
     parts = F.split(r, "-", 2)
     start_str = F.trim(parts[0])
     end_str = F.trim(parts[1])
-    single_num = r.try_cast("int")
-    start_num = F.when(start_str == "", F.lit(1)).otherwise(start_str.try_cast("int"))
-    end_num = F.when(end_str == "", total).otherwise(end_str.try_cast("int"))
+    # bigint, not int: refsem's Python int() is unbounded, and an int32
+    # try_cast would misreport "99999999999999" as a FORMAT error
+    # instead of out-of-range (review finding); beyond int64 the plan
+    # and refsem still diverge — documented limit of the column twin
+    single_num = r.try_cast("bigint")
+    start_num = F.when(start_str == "", F.lit(1).cast("bigint")) \
+        .otherwise(start_str.try_cast("bigint"))
+    end_num = F.when(end_str == "", total.cast("bigint")) \
+        .otherwise(end_str.try_cast("bigint"))
 
     lo = F.when(is_range, start_num).otherwise(single_num)
     hi = F.when(is_range, end_num).otherwise(single_num)
@@ -74,8 +80,8 @@ def split_ranges_plan(requests: DataFrame) -> DataFrame:
 
     return exploded.select(
         "req_id", "page_range",
-        F.when(error.isNull(), lo).alias("page_lo"),
-        F.when(error.isNull(), hi).alias("page_hi"),
+        F.when(error.isNull(), lo).cast("int").alias("page_lo"),
+        F.when(error.isNull(), hi).cast("int").alias("page_hi"),
         F.when(error.isNull(), out_name).alias("out_name"),
         error.alias("error"),
     )
@@ -95,6 +101,21 @@ def split_batches_plan(requests: DataFrame) -> DataFrame:
     ).otherwise(F.col("filename"))
     batch_count = F.ceil(total / bs).cast("int")
 
+    # invalid requests go to the error side channel (reference taxonomy,
+    # pdf_service.py:712-720) instead of silently vanishing
+    error = (
+        F.when(bs <= 0, F.lit("Batch size must be greater than 0"))
+        .when(total <= 0, F.lit("PDF has no pages"))
+    )
+    invalid = requests.where(error.isNotNull()).select(
+        "req_id",
+        F.lit(None).cast("int").alias("batch_index"),
+        F.lit(None).cast("int").alias("page_lo"),
+        F.lit(None).cast("int").alias("page_hi"),
+        F.lit(None).cast("string").alias("out_name"),
+        error.alias("error"),
+    )
+
     exploded = (
         requests.where((bs > 0) & (total > 0))
         .select("req_id", "total_pages", "batch_size", base.alias("base"),
@@ -111,10 +132,12 @@ def split_batches_plan(requests: DataFrame) -> DataFrame:
                  F.lit("_pages_"), lo.cast("string"), F.lit("-"), hi.cast("string"),
                  F.lit(".pdf")),
     )
-    return exploded.select(
-        "req_id", (F.col("b") + 1).alias("batch_index"),
-        lo.alias("page_lo"), hi.alias("page_hi"), name.alias("out_name"),
+    valid = exploded.select(
+        "req_id", (F.col("b") + 1).cast("int").alias("batch_index"),
+        lo.cast("int").alias("page_lo"), hi.cast("int").alias("page_hi"),
+        name.alias("out_name"), F.lit(None).cast("string").alias("error"),
     )
+    return valid.unionByName(invalid)
 
 
 def merge_info_plan(requests: DataFrame) -> DataFrame:

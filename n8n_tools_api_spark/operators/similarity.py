@@ -58,11 +58,13 @@ def ivf_assign(emb: DataFrame, nlist: int = 16,
     broadcast (centroid set is tiny) and the argmax is a window over
     (vector, score) — at 10^9 vectors this is the standard IVF build.
     """
-    w = Window.orderBy(id_col)
-    centroids = (
+    # take-ordered, NOT a global window: Window.orderBy with no
+    # partition key would funnel every embedding through one task
+    # (review finding) — orderBy().limit() runs as a distributed top-k
+    centroids = F.broadcast(
         emb.select(id_col, vec_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= nlist)
+        .orderBy(id_col)
+        .limit(nlist)
         .select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centroid"))
     )
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(

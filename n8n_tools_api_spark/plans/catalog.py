@@ -459,9 +459,7 @@ FROM documents
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                       F.lit(0.0), lambda acc, v: acc + v)
+from n8n_tools_api_spark.operators.similarity import _dot  # single source of truth
 
 
 def cosine_topk(spark, sf_dir):
@@ -831,7 +829,7 @@ SELECT user_id,
        epoch_us(MIN(ts)) AS start_us,
        epoch_us(MAX(ts)) AS end_us,
        CAST(COUNT(*) AS INT) AS n_events,
-       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+       ROUND(CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
 FROM sess
 GROUP BY user_id, session_id
 ORDER BY user_id, start_us

@@ -9,6 +9,27 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import re
+
+_RE_WS = re.compile(r"\s+")
+
+
+def decode_base64_payload(base64_data: str) -> bytes | None:
+    """The ONE base64 decoder every image-span path shares.
+
+    Whitespace-tolerant (MIME-wrapped payloads fold at 76 chars) but
+    otherwise strict — junk like ``!!!`` returns None instead of the
+    silent garbage Python's lenient ``b64decode`` would produce. This
+    matches Spark's JVM-side ``try_to_binary(x, 'base64')`` used by
+    operators/media.py, so the Python pipeline, the goldens, and the
+    JVM blob stage can never disagree about what decodes.
+    """
+    if not base64_data:
+        return None
+    try:
+        return base64.b64decode(_RE_WS.sub("", base64_data), validate=True)
+    except Exception:
+        return None
 
 # Base64-prefix → format. Parity: the full variant at
 # mistral_service.py:809-871 (_detect_image_format): includes both GIF
@@ -73,15 +94,15 @@ def validate_base64_image(base64_data: str, min_bytes: int = 50) -> bool:
     reference also has ≥100-byte variants with signature checks
     (mistral_service.py:729-766, ocr_s3_processor.py:310-347); the
     pipeline routes all image spans through the formatter variant so a
-    span has exactly one inclusion rule.
+    span has exactly one inclusion rule. One deliberate divergence:
+    decoding goes through :func:`decode_base64_payload` (strict +
+    whitespace-tolerant) rather than Python's lenient ``b64decode``, so
+    this validator, ``media_ref_for`` and the JVM blob stage share one
+    notion of "decodes" (review finding: the lenient/strict split could
+    classify a span as a valid image yet give it an empty media_ref).
     """
-    if not base64_data:
-        return False
-    try:
-        decoded = base64.b64decode(base64_data)
-    except Exception:
-        return False
-    return len(decoded) > min_bytes
+    decoded = decode_base64_payload(base64_data)
+    return decoded is not None and len(decoded) > min_bytes
 
 
 def image_size_info(base64_data: str) -> dict:
@@ -91,9 +112,8 @@ def image_size_info(base64_data: str) -> dict:
     bytes, KB rounded to 2 (Python banker's rounding — why this stays in
     Python, Spark ``round`` is HALF_UP), and the raw base64 length.
     """
-    try:
-        decoded = base64.b64decode(base64_data)
-    except Exception:
+    decoded = decode_base64_payload(base64_data)
+    if decoded is None:
         return {}
     return {
         "data_size_bytes": len(decoded),
@@ -277,10 +297,7 @@ def media_ref_for(base64_data: str, prefix: str = "media") -> str:
     S6): ``{prefix}/{sha256(decoded)[:16]}.{ext}``. Extension comes from
     the full-variant format detector; 'unknown' maps to 'bin'.
     """
-    try:
-        decoded = base64.b64decode(base64_data, validate=True)
-    except Exception:
-        return ""
+    decoded = decode_base64_payload(base64_data)
     if not decoded:
         return ""
     digest = hashlib.sha256(decoded).hexdigest()[:16]

@@ -126,7 +126,11 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min(F.col("ts").cast("timestamp")).alias("session_start"),
             F.max(F.col("ts").cast("timestamp")).alias("session_end"),
             F.count("*").cast("int").alias("n_events"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+            # decimal-exact sum (repo determinism rule): float partial-agg
+            # order must not jitter the oracle-checked value
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))
+                          .cast("decimal(18,6)")).cast("double"), 2)
+            .alias("total_value"),
         )
         .drop("session_id")
     )

@@ -92,6 +92,10 @@ class TestLineageEdgeCases:
         lin = spark.read.parquet(f"{out}/_lineage")
         b_total = sum(r["doc_count"] for r in lin.where("run_id = 'B'").collect())
         assert b_total == 6  # only run B's own docs, never run A's
+        # and the DATA dir holds exactly run B's documents — a bucket
+        # that run B left empty must not expose run A's files
+        data_ids = {r["doc_id"] for r in read_extracted(spark, out).collect()}
+        assert data_ids == {r["doc_id"] for r in docs_b.collect()}
 
 
 class TestIncrementalExtract:

@@ -39,7 +39,9 @@ from n8n_tools_api_spark.sources.synthetic import (
 
 class TestSplitRangesPlan:
     CASES = ["1-3", "5", "7-9", "-3", "8-", " 2 - 4 ",
-             "0", "15", "7-3", "a-b", "abc", "1-99", "1--3"]
+             "0", "15", "7-3", "a-b", "abc", "1-99", "1--3",
+             # beyond int32: must be out-of-range, not a format error
+             "99999999999999", "1-3000000000"]
 
     def test_matches_refsem(self, spark):
         reqs = spark.createDataFrame(
@@ -78,6 +80,23 @@ class TestSplitBatchesPlan:
                 for g in got] == \
             [(e["batch_index"], e["out_name"], e["page_lo"], e["page_hi"])
              for e in expected]
+
+
+class TestBatchErrorChannel:
+    def test_invalid_requests_hit_error_channel(self, spark):
+        reqs = spark.createDataFrame(
+            [("ok", 4, 2, "a.pdf"), ("zero_bs", 10, 0, "b.pdf"),
+             ("no_pages", 0, 3, "c.pdf")],
+            "req_id string, total_pages int, batch_size int, filename string",
+        )
+        rows = split_batches_plan(reqs).collect()
+        by_req = {}
+        for r in rows:
+            by_req.setdefault(r["req_id"], []).append(r)
+        assert len(by_req["ok"]) == 2
+        assert all(r["error"] is None for r in by_req["ok"])
+        assert by_req["zero_bs"][0]["error"] == "Batch size must be greater than 0"
+        assert by_req["no_pages"][0]["error"] == "PDF has no pages"
 
 
 class TestMergePlan:
