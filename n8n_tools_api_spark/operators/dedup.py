@@ -297,6 +297,72 @@ def embedding_near_dups(emb: DataFrame, dim: int, threshold: float = 0.95,
     )
 
 
+def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    Pairwise candidates (MinHash/SimHash/embedding LSH) are not enough
+    to dedup a corpus: A~B and B~C must collapse into one group even if
+    A~C was never emitted. Standard large-scale approach: iterative
+    label propagation (small-star/large-star simplification) — each doc
+    takes the MIN label among itself and its neighbors until fixpoint.
+    Converges in O(diameter) rounds; near-dup clusters are shallow
+    (diameter ≤ ~5 in practice), so the loop is short. Each round is
+    one join + one aggregate, all JVM-side.
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
+    component is the lexicographically-smallest member — the canonical
+    document to KEEP when deduping.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neighbor_component", F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # fixpoint check: one aggregate instead of a full diff
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "doc_id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1).count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """(component, size, doc_ids) — one row per near-dup cluster."""
+    comp = near_dup_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"),
+             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("cluster_size") > 1)
+    )
+
+
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Exact dedup groups by content hash (A10, s3_client.py:243-270)."""

@@ -79,6 +79,45 @@ def ivf_assign(emb: DataFrame, nlist: int = 16,
     return centroids, assigned
 
 
+def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd refinement of the IVF coarse quantizer.
+
+    Starting from the deterministic seed centroids (ivf_assign), each
+    iteration recomputes every centroid as its cluster's element-wise
+    mean and reassigns. All DataFrame ops: the element-wise mean is
+    posexplode(dim, value) → groupBy(cluster, dim) → avg → re-assemble
+    sorted by dim — no UDF, shuffles bounded by nlist x dim rows.
+    Returns the refined (cluster_id, centroid) set.
+    """
+    centroids, assigned = ivf_assign(emb, nlist, id_col, vec_col)
+    for _ in range(iters):
+        dims = (
+            assigned.select("cluster_id",
+                            F.posexplode(F.col(vec_col).cast("array<double>"))
+                            .alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("v").alias("mean_v"))
+        )
+        centroids = (
+            dims.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("dv"))
+            .select("cluster_id",
+                    F.transform("dv", lambda x: x["mean_v"].cast("float"))
+                    .alias("centroid"))
+        )
+        scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+            "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
+        )
+        pick = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("cluster_id"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_score", "centroid")
+        )
+    return centroids
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, nlist: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

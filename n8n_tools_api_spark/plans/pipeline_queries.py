@@ -98,6 +98,32 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, k=5, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup flow: MinHash-LSH candidates → connected components →
+    duplicate clusters with the canonical (minimum) doc per group."""
+    from n8n_tools_api_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_candidates)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mutated = (
+        docs.where(F.col("doc_id").cast("bigint") < 25)
+        .select(F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
+                F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"))
+    )
+    pairs = (
+        minhash_lsh_candidates(docs.unionByName(mutated))
+        .where(F.col("n_shared_bands") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    return (
+        duplicate_clusters(pairs)
+        .select("component", "cluster_size",
+                F.array_join("doc_ids", ",").alias("members"))
+        .orderBy("component")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors for vec_id=0."""
     from n8n_tools_api_spark.operators.similarity import ivf_topk
@@ -242,6 +268,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
+    "near_dup_clusters": near_dup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
     "language_id": language_id,
     "multimodal_decode_stats": multimodal_decode_stats,

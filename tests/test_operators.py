@@ -234,6 +234,65 @@ class TestDedup:
         assert rows[("d0", "d0_copy")] == 0
 
 
+class TestNearDupComponents:
+    def test_transitive_closure(self, spark):
+        from n8n_tools_api_spark.operators.dedup import (
+            duplicate_clusters, near_dup_components)
+
+        # chain a~b~c plus separate pair x~y: components must collapse
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("m", "n"), ("n", "o"),
+             ("o", "p")],
+            "doc_a string, doc_b string",
+        )
+        comp = {r["doc_id"]: r["component"]
+                for r in near_dup_components(pairs).collect()}
+        assert comp["a"] == comp["b"] == comp["c"] == "a"
+        assert comp["x"] == comp["y"] == "x"
+        assert comp["m"] == comp["n"] == comp["o"] == comp["p"] == "m"
+        clusters = {r["component"]: r["doc_ids"]
+                    for r in duplicate_clusters(pairs).collect()}
+        assert clusters["a"] == ["a", "b", "c"]
+        assert clusters["m"] == ["m", "n", "o", "p"]
+
+    def test_end_to_end_with_minhash(self, spark):
+        from n8n_tools_api_spark.operators.dedup import duplicate_clusters
+
+        docs = spark.createDataFrame(
+            [("d1", " ".join(f"w{j}" for j in range(60))),
+             ("d1_c1", " ".join(f"w{j}" for j in range(60))),
+             ("d1_c2", " ".join(f"w{j}" for j in range(58))),
+             ("solo", " ".join(f"z{j}" for j in range(60)))],
+            "doc_id string, text string",
+        )
+        pairs = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+        clusters = duplicate_clusters(pairs).collect()
+        assert len(clusters) == 1
+        assert clusters[0]["doc_ids"] == ["d1", "d1_c1", "d1_c2"]
+
+
+class TestKMeansRefine:
+    def test_refined_centroids_improve_or_hold_quality(self, spark, sf_dir):
+        from n8n_tools_api_spark.operators.similarity import (
+            cosine_similarity_col, ivf_assign, kmeans_refine)
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        def mean_best_sim(centroids):
+            scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+                "s", cosine_similarity_col(F.col("embedding"), F.col("centroid")))
+            best = scored.groupBy("vec_id").agg(F.max("s").alias("best"))
+            return best.agg(F.avg("best")).collect()[0][0]
+
+        seed_centroids, _ = ivf_assign(emb, nlist=8)
+        refined = kmeans_refine(emb, nlist=8, iters=2)
+        assert refined.count() <= 8
+        assert len(refined.first()["centroid"]) == 64
+        # Lloyd iterations must not degrade mean best-assignment quality
+        assert mean_best_sim(refined) >= mean_best_sim(seed_centroids) - 1e-9
+
+
 class TestSimilarity:
     def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
