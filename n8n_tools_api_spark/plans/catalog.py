@@ -892,6 +892,53 @@ ORDER BY doc_id
 """
 
 
+def doc_chain_components(spark, sf_dir):
+    """ITERATIVE-ALGORITHM ORACLE: connected components over a
+    deterministic edge list derived from the documents table (edges
+    (i, i+1) where i % 10 < 3 → 4-node chains), computed by the
+    engine's label-propagation operator and cross-checked against a
+    DuckDB recursive-CTE transitive closure.
+    """
+    from n8n_tools_api_spark.operators.dedup import near_dup_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    edges = (
+        docs.where((F.col("doc_id") % 10 < 3) & (F.col("doc_id") < max_id))
+        .select(F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 1).alias("doc_b"))
+    )
+    return (
+        near_dup_components(edges)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("component").cast("bigint").alias("component"))
+        .orderBy("doc_id")
+    )
+
+
+CHAIN_COMPONENTS_SQL = """
+WITH RECURSIVE
+edges AS (
+  SELECT doc_id AS a, doc_id + 1 AS b
+  FROM documents
+  WHERE doc_id % 10 < 3 AND doc_id < (SELECT MAX(doc_id) FROM documents)
+),
+undirected AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+),
+reach(src, dst) AS (
+  SELECT a, b FROM undirected
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS component
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -927,4 +974,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "event_sessions_full": (event_sessions_full, SESSIONS_FULL_SQL),
     "extract_clean_fingerprints": (extract_clean_fingerprints, EXTRACT_CLEAN_SQL),
+    "doc_chain_components": (doc_chain_components, CHAIN_COMPONENTS_SQL),
 }
