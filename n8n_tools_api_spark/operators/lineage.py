@@ -25,8 +25,6 @@ append relies on parquet-file atomicity (each append is one new file).
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +42,17 @@ def _with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     return docs.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete through Hadoop FS (works for file://, hdfs://,
+    s3a:// alike — os.path/shutil would silently no-op off-local)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def committed_buckets(spark: SparkSession, lineage_path: str, run_id: str) -> set[int]:
@@ -79,13 +88,18 @@ def resumable_extract(
 
     bucketed = _with_bucket(docs, n_buckets)
     done = committed_buckets(spark, lineage_path, run_id)
-    # fresh run over a reused out_dir: clear stale bucket directories a
-    # previous run_id left behind — dynamic overwrite only replaces
-    # partitions THIS run writes, so an empty bucket would otherwise
-    # expose the old run's documents through read_extracted (review
-    # finding). Mid-run resume (done non-empty) must NOT clear.
-    if not done and os.path.isdir(data_path):
-        shutil.rmtree(data_path)
+    # out_dir holds ONE active run. Starting a fresh run_id over a
+    # reused out_dir clears BOTH the data and the old lineage: dynamic
+    # overwrite only replaces partitions THIS run writes, so an empty
+    # bucket would otherwise expose the previous run's documents through
+    # read_extracted — and keeping the old run's lineage while deleting
+    # its data would let a later "resume" of that run_id return success
+    # over someone else's output (review findings). Mid-run resume
+    # (done non-empty) must NOT clear. Deletion goes through the Hadoop
+    # FileSystem API so s3a/hdfs paths behave like local ones.
+    if not done:
+        _delete_path(spark, data_path)
+        _delete_path(spark, lineage_path)
     todo = [b for b in range(n_buckets) if b not in done]
     groups = [todo[i:i + group_size] for i in range(0, len(todo), group_size)]
 

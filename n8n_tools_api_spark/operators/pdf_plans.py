@@ -102,9 +102,13 @@ def split_batches_plan(requests: DataFrame) -> DataFrame:
     batch_count = F.ceil(total / bs).cast("int")
 
     # invalid requests go to the error side channel (reference taxonomy,
-    # pdf_service.py:712-720) instead of silently vanishing
+    # pdf_service.py:712-720) instead of silently vanishing; NULL checks
+    # come first — `NULL <= 0` is NULL, which would fall through BOTH
+    # branches and drop the row (review finding)
     error = (
-        F.when(bs <= 0, F.lit("Batch size must be greater than 0"))
+        F.when(bs.isNull(), F.lit("Batch size must be greater than 0"))
+        .when(total.isNull(), F.lit("PDF has no pages"))
+        .when(bs <= 0, F.lit("Batch size must be greater than 0"))
         .when(total <= 0, F.lit("PDF has no pages"))
     )
     invalid = requests.where(error.isNotNull()).select(

@@ -91,6 +91,10 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
     Returns the refined (cluster_id, centroid) set.
     """
     centroids, assigned = ivf_assign(emb, nlist, id_col, vec_col)
+    # each Lloyd iteration nests a crossJoin-over-emb into the lineage;
+    # checkpoint per round so downstream actions don't replay the whole
+    # chain (review finding — mirrors near_dup_components)
+    assigned = assigned.localCheckpoint(eager=True)
     for _ in range(iters):
         dims = (
             assigned.select("cluster_id",
@@ -105,6 +109,7 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
             .select("cluster_id",
                     F.transform("dv", lambda x: x["mean_v"].cast("float"))
                     .alias("centroid"))
+            .localCheckpoint(eager=True)
         )
         scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
             "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
@@ -114,6 +119,7 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
             scored.withColumn("_rn", F.row_number().over(pick))
             .where(F.col("_rn") == 1)
             .drop("_rn", "_score", "centroid")
+            .localCheckpoint(eager=True)
         )
     return centroids
 

@@ -17,17 +17,35 @@ _RE_WS = re.compile(r"\s+")
 def decode_base64_payload(base64_data: str) -> bytes | None:
     """The ONE base64 decoder every image-span path shares.
 
-    Whitespace-tolerant (MIME-wrapped payloads fold at 76 chars) but
-    otherwise strict — junk like ``!!!`` returns None instead of the
-    silent garbage Python's lenient ``b64decode`` would produce. This
-    matches Spark's JVM-side ``try_to_binary(x, 'base64')`` used by
-    operators/media.py, so the Python pipeline, the goldens, and the
-    JVM blob stage can never disagree about what decodes.
+    Semantics are pinned to Spark's JVM ``try_to_binary(x, 'base64')``
+    (used by operators/media.py) so the Python pipeline, the goldens,
+    and the JVM blob stage can never disagree about what decodes —
+    verified case-by-case by tests/test_operators.py::TestBase64JvmParity:
+
+    * whitespace is ignored (MIME-wrapped payloads fold at 76 chars);
+    * UNPADDED input decodes (JVM accepts it; plain strict Python
+      ``b64decode`` would not — we pad before decoding);
+    * padding, when present, must be well-formed: only at the end, at
+      most 2 chars, total length a multiple of 4 (JVM rejects
+      over-padding like ``'QUJD===='`` that lenient Python accepts);
+    * non-alphabet junk returns None.
     """
-    if not base64_data:
+    if base64_data is None:
         return None
+    s = _RE_WS.sub("", base64_data)
+    if not s:
+        return b""  # JVM decodes ''/whitespace-only to empty bytes
+    core = s.rstrip("=")
+    pad = len(s) - len(core)
+    if "=" in core or pad > 2 or (pad and len(s) % 4 != 0):
+        return None
+    if not pad:  # JVM accepts unpadded input — normalize before strict decode
+        need = -len(core) % 4
+        if need == 3:  # length ≡ 1 (mod 4) is not valid base64
+            return None
+        s = core + "=" * need
     try:
-        return base64.b64decode(_RE_WS.sub("", base64_data), validate=True)
+        return base64.b64decode(s, validate=True)
     except Exception:
         return None
 

@@ -30,6 +30,8 @@ SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"
 )
+# session_start/last_ts: epoch microseconds; total_value: integer
+# micro-units of value — all stored as double (exact below 2^53)
 STATE_SCHEMA = (
     "session_start double, last_ts double, n_events int, total_value double"
 )
@@ -39,7 +41,25 @@ def _sessionize(key, batches: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     # integer microseconds throughout: fits a double exactly (< 2^53)
     # for any realistic epoch, and converts to Arrow timestamp[us]
-    # without unsafe-cast warnings
+    # without unsafe-cast warnings. Values accumulate in integer
+    # micro-units with HALF_UP quantization — bit-identical to the
+    # batch twin's CAST(value AS DECIMAL(18,6)) sum (review finding:
+    # raw float accumulation + Python banker's rounding could disagree
+    # with the batch path on exact half-cent sums).
+    import decimal
+
+    def to_micro_units(v: float) -> int:
+        return int(
+            decimal.Decimal(v).quantize(decimal.Decimal("0.000001"),
+                                        rounding=decimal.ROUND_HALF_UP)
+            .scaleb(6)
+        )
+
+    def round2_from_micro(total_micro: int) -> float:
+        q = (decimal.Decimal(total_micro).scaleb(-6)
+             .quantize(decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP))
+        return float(q)
+
     gap_us = 1800 * 1_000_000
     (user_id,) = key
     events = pd.concat(list(batches), ignore_index=True)
@@ -49,21 +69,22 @@ def _sessionize(key, batches: Iterator[pd.DataFrame],
 
     if state.exists:
         s_start, s_last, s_n, s_val = state.get
-        s_start, s_last = int(s_start), int(s_last)
+        s_start, s_last, s_val = int(s_start), int(s_last), int(s_val)
     else:
         s_start = s_last = None
-        s_n, s_val = 0, 0.0
+        s_n, s_val = 0, 0
 
     closed = []
     for t, v in zip(ts_us, values):
         t = int(t)
         if s_start is None:
-            s_start, s_last, s_n, s_val = t, t, 1, float(v)
+            s_start, s_last, s_n, s_val = t, t, 1, to_micro_units(v)
         elif t - s_last > gap_us:
-            closed.append((user_id, s_start, s_last, s_n, round(s_val, 2)))
-            s_start, s_last, s_n, s_val = t, t, 1, float(v)
+            closed.append((user_id, s_start, s_last, s_n,
+                           round2_from_micro(s_val)))
+            s_start, s_last, s_n, s_val = t, t, 1, to_micro_units(v)
         else:
-            s_last, s_n, s_val = t, s_n + 1, s_val + float(v)
+            s_last, s_n, s_val = t, s_n + 1, s_val + to_micro_units(v)
 
     state.update((float(s_start), float(s_last), int(s_n), float(s_val)))
     if closed:

@@ -200,6 +200,37 @@ class TestMediaUploadStats:
             partial["uploaded"] / partial["detected"], 4)
 
 
+class TestBase64JvmParity:
+    # the review's divergence battery: unpadded, over-padded, whitespace,
+    # junk, impossible length — Python decode_base64_payload must agree
+    # with Spark try_to_binary(x, 'base64') on every one
+    CASES = [
+        CANONICAL_PNG_B64,
+        "QQ", "QUJDRA",          # unpadded (JVM accepts)
+        "QUJD====",              # over-padded (JVM rejects)
+        "QUJ=D===",              # padding inside
+        "QUJDRA==",              # normal padding
+        "QU JD RA\n==",          # whitespace-wrapped
+        "!!!notbase64!!!", "", "=", "A", "ABCDE",
+    ]
+
+    def test_python_matches_jvm(self, spark):
+        from pyspark.sql import functions as F
+
+        from n8n_tools_api_spark.refsem.images import decode_base64_payload
+
+        df = spark.createDataFrame([(c,) for c in self.CASES], "b64 string")
+        jvm = {
+            r["b64"]: (bytes(r["decoded"]) if r["decoded"] is not None else None)
+            for r in df.select(
+                "b64",
+                F.try_to_binary(F.col("b64"), F.lit("base64")).alias("decoded"),
+            ).collect()
+        }
+        for case in self.CASES:
+            assert decode_base64_payload(case) == jvm[case], repr(case)
+
+
 class TestDedup:
     @pytest.fixture(scope="class")
     def corpus(self, spark):
