@@ -20,18 +20,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def split_ranges_plan(requests: DataFrame) -> DataFrame:
-    """Expand (req_id, ranges array<string>, total_pages) into output rows.
+def _range_parse_cols(range_col, total_col):
+    """Column twin of refsem.pdfops.parse_page_range (pdf_service.py:32-65).
 
-    Parity: pdf_service.py:68-155 + _parse_page_range (:32-65). Output:
-    (req_id, page_range, page_lo, page_hi, out_name, error) — page_lo/hi
-    1-based inclusive, error NULL on success.
+    Returns (lo, hi, error) expressions — lo/hi 1-based inclusive
+    bigints, error NULL on success (reference taxonomy, check order
+    preserved). Shared by split_ranges_plan and merge_ranges_plan so the
+    parser logic is never forked.
     """
-    r = F.trim(F.col("page_range"))
-    total = F.col("total_pages")
-    exploded = requests.select(
-        "req_id", "total_pages", F.explode("ranges").alias("page_range")
-    )
+    r = F.trim(range_col)
+    total = total_col
 
     is_range = r.contains("-")
     parts = F.split(r, "-", 2)
@@ -70,6 +68,20 @@ def split_ranges_plan(requests: DataFrame) -> DataFrame:
                        F.lit(") is greater than end page ("), end_num.cast("string"),
                        F.lit(")")))
     )
+    return lo, hi, error
+
+
+def split_ranges_plan(requests: DataFrame) -> DataFrame:
+    """Expand (req_id, ranges array<string>, total_pages) into output rows.
+
+    Parity: pdf_service.py:68-155 + _parse_page_range (:32-65). Output:
+    (req_id, page_range, page_lo, page_hi, out_name, error) — page_lo/hi
+    1-based inclusive, error NULL on success.
+    """
+    exploded = requests.select(
+        "req_id", "total_pages", F.explode("ranges").alias("page_range")
+    )
+    lo, hi, error = _range_parse_cols(F.col("page_range"), F.col("total_pages"))
 
     out_name = F.when(
         lo == hi, F.concat(F.lit("page_"), lo.cast("string"), F.lit(".pdf"))
@@ -196,3 +208,180 @@ def merge_plan(requests: DataFrame, strategy_col: str = "strategy") -> DataFrame
     return pages.select(
         "req_id", (out_pos - 1).alias("out_pos"), "file_idx", "page_idx"
     ).orderBy("req_id", "out_pos")
+
+
+def split_pages_plan(requests: DataFrame) -> DataFrame:
+    """Expand (req_id, total_pages) into one row per page.
+
+    Parity: pdf_service.py:158-232 (split_to_individual_pages) — names
+    ``page_{n}.pdf``, 1-based; zero/NULL pages yield the reference's
+    "PDF has no pages" error row instead of raising (refsem twin:
+    refsem/pdfops.py split_pages).
+    """
+    total = F.col("total_pages")
+    error = F.when(total.isNull() | (total <= 0), F.lit("PDF has no pages"))
+    invalid = requests.where(error.isNotNull()).select(
+        "req_id",
+        F.lit(None).cast("int").alias("page_num"),
+        F.lit(None).cast("string").alias("out_name"),
+        error.alias("error"),
+    )
+    valid = (
+        requests.where(total > 0)
+        .select("req_id",
+                F.explode(F.sequence(F.lit(1), total.cast("int"))).alias("page_num"))
+        .select(
+            "req_id", "page_num",
+            F.concat(F.lit("page_"), F.col("page_num").cast("string"),
+                     F.lit(".pdf")).alias("out_name"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    return valid.unionByName(invalid)
+
+
+def batch_info_plan(requests: DataFrame) -> DataFrame:
+    """Batch-split preview rollup — one row per request.
+
+    Parity: pdf_service.py:760-816 (get_batch_split_info) + preview
+    route pdf.py:349-465. Input: (req_id, total_pages, batch_size,
+    file_size_bytes). Per-batch windows live in split_batches_plan;
+    this is the scalar preview (batch_count, sizes, the ×1.1 output
+    estimate). Pure projection — no shuffle.
+    """
+    total = F.col("total_pages")
+    bs = F.col("batch_size")
+    mb = F.col("file_size_bytes") / F.lit(1048576)
+    # NULL checks first — `NULL <= 0` is NULL and would skip both branches
+    error = (
+        F.when(bs.isNull(), F.lit("Batch size must be greater than 0"))
+        .when(total.isNull(), F.lit("PDF has no pages"))
+        .when(bs <= 0, F.lit("Batch size must be greater than 0"))
+        .when(total <= 0, F.lit("PDF has no pages"))
+    )
+    ok = error.isNull()
+    return requests.select(
+        "req_id",
+        F.when(ok, total).cast("int").alias("total_pages"),
+        F.when(ok, bs).cast("int").alias("batch_size"),
+        F.when(ok, F.ceil(total / bs)).cast("int").alias("batch_count"),
+        F.when(ok, F.col("file_size_bytes")).cast("bigint").alias("file_size_bytes"),
+        F.when(ok, F.round(mb, 2)).alias("file_size_mb"),
+        F.when(ok, F.round(mb * 1.1, 2)).alias("estimated_total_output_size_mb"),
+        error.alias("error"),
+    )
+
+
+def merge_pages_plan(requests: DataFrame) -> DataFrame:
+    """Output order for merges with per-file page selection (J1).
+
+    Parity: pdf_service.py:476-546 (merge_with_page_selection) + the
+    route zip at pdf.py:680 — input (req_id, files array<struct<
+    n_pages:int, selected:array<int>>>), array position = zip position.
+    Out-of-range pages are *skipped with a warning* (error column, NULL
+    out_pos); files with empty selections vanish (explode drops them).
+    Output: (req_id, file_pos, sel_pos, page_num, out_pos, error).
+    Refsem twin: refsem/pdfops.py merge_pages_order.
+    """
+    rows = (
+        requests.select("req_id", F.posexplode("files").alias("file_pos", "f"))
+        .select("req_id", "file_pos", F.col("f.n_pages").alias("n_pages"),
+                F.posexplode("f.selected").alias("sel_pos", "page_num"))
+    )
+    valid = (F.col("page_num") >= 1) & (F.col("page_num") <= F.col("n_pages"))
+    error = F.when(
+        ~valid,
+        F.concat(F.lit("Page "), F.col("page_num").cast("string"),
+                 F.lit(" is out of range for PDF "),
+                 (F.col("file_pos") + 1).cast("string"),
+                 F.lit(" (has "), F.col("n_pages").cast("string"),
+                 F.lit(" pages). Skipping.")),
+    )
+    w = (
+        Window.partitionBy("req_id")
+        .orderBy("file_pos", "sel_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_pos = F.when(valid, F.sum(valid.cast("int")).over(w) - 1)
+    return rows.select(
+        "req_id", "file_pos", "sel_pos", "page_num",
+        out_pos.cast("int").alias("out_pos"), error.alias("error"),
+    ).orderBy("req_id", "file_pos", "sel_pos")
+
+
+def merge_ranges_plan(requests: DataFrame) -> DataFrame:
+    """Output order for merges with per-file range strings (J1).
+
+    Parity: pdf_service.py:548-621 (merge_with_ranges) + route zip at
+    pdf.py:769 — input (req_id, files array<struct<n_pages:int,
+    ranges:array<string>>>). Invalid ranges are skipped whole with the
+    reference's warning (error column, NULL page_num/out_pos); valid
+    ranges expand via the shared _parse_page_range column twin.
+    Output: (req_id, file_pos, range_pos, page_range, page_num,
+    out_pos, error). Refsem twin: refsem/pdfops.py merge_ranges_order.
+    """
+    exploded = (
+        requests.select("req_id", F.posexplode("files").alias("file_pos", "f"))
+        .select("req_id", "file_pos", F.col("f.n_pages").alias("n_pages"),
+                F.posexplode("f.ranges").alias("range_pos", "page_range"))
+    )
+    lo, hi, parse_err = _range_parse_cols(F.col("page_range"), F.col("n_pages"))
+    error = F.when(
+        parse_err.isNotNull(),
+        F.concat(F.lit("Skipping invalid range '"), F.col("page_range"),
+                 F.lit("' for PDF "), (F.col("file_pos") + 1).cast("string"),
+                 F.lit(": "), parse_err),
+    )
+    # one NULL row for skipped ranges, else the 1-based page sequence
+    pages = (
+        exploded
+        .withColumn("error", error)
+        .withColumn("lo", lo.cast("int"))
+        .withColumn("hi", hi.cast("int"))
+        .select(
+            "req_id", "file_pos", "range_pos", "page_range", "error",
+            F.explode(
+                F.when(F.col("error").isNotNull(),
+                       F.array(F.lit(None).cast("int")))
+                .otherwise(F.sequence(F.col("lo"), F.col("hi")))
+            ).alias("page_num"),
+        )
+    )
+    valid = F.col("error").isNull()
+    w = (
+        Window.partitionBy("req_id")
+        .orderBy("file_pos", "range_pos", "page_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_pos = F.when(valid, F.sum(valid.cast("int")).over(w) - 1)
+    return pages.select(
+        "req_id", "file_pos", "range_pos", "page_range", "page_num",
+        out_pos.cast("int").alias("out_pos"), "error",
+    ).orderBy("req_id", "file_pos", "range_pos", "page_num")
+
+
+def merge_selection_info(requests: DataFrame) -> DataFrame:
+    """Per-request rollup of a page-selection merge.
+
+    Parity: pdf_service.py:494-527 — files_count = len(pdf_specs),
+    pages_added/pages_skipped, and the reference's "No valid pages were
+    selected for merging" error when nothing survives.
+    """
+    plan = merge_pages_plan(requests)
+    counts = plan.groupBy("req_id").agg(
+        F.sum(F.col("out_pos").isNotNull().cast("int")).cast("int")
+        .alias("pages_added"),
+        F.sum(F.col("error").isNotNull().cast("int")).cast("int")
+        .alias("pages_skipped"),
+    )
+    base = requests.select("req_id", F.size("files").alias("files_count"))
+    joined = base.join(counts, "req_id", "left")
+    added = F.coalesce(F.col("pages_added"), F.lit(0))
+    return joined.select(
+        "req_id", "files_count",
+        added.cast("int").alias("pages_added"),
+        F.coalesce(F.col("pages_skipped"), F.lit(0)).cast("int")
+        .alias("pages_skipped"),
+        F.when(added == 0, F.lit("No valid pages were selected for merging"))
+        .alias("error"),
+    )

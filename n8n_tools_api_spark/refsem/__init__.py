@@ -41,9 +41,13 @@ from .pdfops import (
     parse_page_range,
     parse_range_list,
     split_output_name,
+    split_pages,
     batch_windows,
+    batch_split_info,
     merge_append_order,
     merge_interleave_order,
+    merge_pages_order,
+    merge_ranges_order,
     sanitize_filename,
 )
 from .boilerplate import strip_boilerplate
@@ -79,9 +83,13 @@ __all__ = [
     "parse_page_range",
     "parse_range_list",
     "split_output_name",
+    "split_pages",
     "batch_windows",
+    "batch_split_info",
     "merge_append_order",
     "merge_interleave_order",
+    "merge_pages_order",
+    "merge_ranges_order",
     "sanitize_filename",
     "strip_boilerplate",
     "CONTENT_TYPES",

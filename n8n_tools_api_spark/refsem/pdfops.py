@@ -150,6 +150,120 @@ def merge_interleave_order(page_counts: list[int]) -> list[tuple[int, int]]:
     return order
 
 
+def split_pages(total_pages: int) -> list[dict]:
+    """One output row per page for an individual-page split.
+
+    Parity: pdf_service.py:158-232 (split_to_individual_pages) — names
+    ``page_{n}.pdf`` with 1-based numbering; zero pages raises the
+    reference's "PDF has no pages" error.
+    """
+    if total_pages <= 0:
+        raise PageRangeError("PDF has no pages")
+    return [
+        {"page_num": i + 1, "out_name": f"page_{i + 1}.pdf"}
+        for i in range(total_pages)
+    ]
+
+
+def merge_pages_order(specs: list[tuple[int, list[int]]]) -> list[dict]:
+    """Output order for a merge with per-file page selection.
+
+    Parity: pdf_service.py:476-546 (merge_with_page_selection) + the
+    route zip at pdf.py:680 — specs[i] = (n_pages, selected 1-based
+    page numbers for the file at zip position i). Files with an empty
+    selection are skipped entirely; out-of-range pages are *skipped
+    with a warning* (not an error), with the reference's message.
+
+    Returns rows {file_pos (0-based zip position), sel_pos, page_num,
+    out_pos (None when skipped), error (None when added)}.
+    """
+    rows: list[dict] = []
+    out_pos = 0
+    for i, (n_pages, selected) in enumerate(specs):
+        if not selected:
+            continue  # reference: `if not page_indices: continue`
+        for j, page_num in enumerate(selected):
+            if page_num < 1 or page_num > n_pages:
+                rows.append({
+                    "file_pos": i, "sel_pos": j, "page_num": page_num,
+                    "out_pos": None,
+                    "error": (
+                        f"Page {page_num} is out of range for PDF {i + 1} "
+                        f"(has {n_pages} pages). Skipping."
+                    ),
+                })
+                continue
+            rows.append({
+                "file_pos": i, "sel_pos": j, "page_num": page_num,
+                "out_pos": out_pos, "error": None,
+            })
+            out_pos += 1
+    return rows
+
+
+def merge_ranges_order(specs: list[tuple[int, list[str]]]) -> list[dict]:
+    """Output order for a merge with per-file range strings.
+
+    Parity: pdf_service.py:548-621 (merge_with_ranges) — specs[i] =
+    (n_pages, range strings). Invalid ranges are skipped whole with a
+    warning (reference logs and `continue`s); valid ranges expand to
+    their pages in order. Files with no ranges are skipped.
+
+    Returns rows {file_pos, range_pos, page_range, page_num (1-based,
+    None for skipped ranges), out_pos (None when skipped), error}.
+    """
+    rows: list[dict] = []
+    out_pos = 0
+    for i, (n_pages, ranges) in enumerate(specs):
+        if not ranges:
+            continue
+        for j, rng in enumerate(ranges):
+            try:
+                lo, hi = parse_page_range(rng, n_pages)
+            except PageRangeError as e:
+                rows.append({
+                    "file_pos": i, "range_pos": j, "page_range": rng,
+                    "page_num": None, "out_pos": None,
+                    "error": (
+                        f"Skipping invalid range '{rng}' for PDF {i + 1}: {e}"
+                    ),
+                })
+                continue
+            for p in range(lo, hi + 1):  # 0-based inclusive from parser
+                rows.append({
+                    "file_pos": i, "range_pos": j, "page_range": rng,
+                    "page_num": p + 1, "out_pos": out_pos, "error": None,
+                })
+                out_pos += 1
+    return rows
+
+
+def batch_split_info(total_pages: int, batch_size: int,
+                     file_size_bytes: int) -> dict:
+    """Batch-split preview rollup.
+
+    Parity: pdf_service.py:760-816 (get_batch_split_info) — batch
+    count/windows plus file_size_mb and the ×1.1 estimated output size
+    (both round(x, 2); the reference's Python round is banker's, noted
+    for the column twin which uses HALF_UP — callers keep test values
+    off the .xx5 midpoints, as merge_info does).
+    """
+    if batch_size <= 0:
+        raise PageRangeError("Batch size must be greater than 0")
+    if total_pages <= 0:
+        raise PageRangeError("PDF has no pages")
+    batch_count = (total_pages + batch_size - 1) // batch_size
+    mb = file_size_bytes / (1024 * 1024)
+    return {
+        "total_pages": total_pages,
+        "batch_size": batch_size,
+        "batch_count": batch_count,
+        "file_size_bytes": file_size_bytes,
+        "file_size_mb": round(mb, 2),
+        "estimated_total_output_size_mb": round(mb * 1.1, 2),
+    }
+
+
 _RE_UNSAFE = re.compile(r"[^a-zA-Z0-9._-]")
 
 

@@ -15,19 +15,28 @@ from n8n_tools_api_spark.operators.media import (
     distinct_media_blobs,
 )
 from n8n_tools_api_spark.operators.pdf_plans import (
+    batch_info_plan,
+    merge_pages_plan,
     merge_plan,
+    merge_ranges_plan,
+    merge_selection_info,
     split_batches_plan,
+    split_pages_plan,
     split_ranges_plan,
 )
 from n8n_tools_api_spark.operators.similarity import brute_force_topk, ivf_topk
 from n8n_tools_api_spark.operators import extract_spans
 from n8n_tools_api_spark.refsem import (
     PageRangeError,
+    batch_split_info,
     batch_windows,
     media_ref_for,
     merge_interleave_order,
+    merge_pages_order,
+    merge_ranges_order,
     parse_page_range,
     split_output_name,
+    split_pages,
 )
 from n8n_tools_api_spark.sources import interleaved_df
 from n8n_tools_api_spark.sources.synthetic import (
@@ -119,6 +128,144 @@ class TestMergePlan:
         got = [(r["file_idx"], r["page_idx"]) for r in
                merge_plan(reqs).orderBy("out_pos").collect()]
         assert got == [(0, 0), (0, 1), (1, 0)]
+
+
+class TestSplitPagesPlan:
+    def test_matches_refsem(self, spark):
+        reqs = spark.createDataFrame(
+            [("r1", 4), ("r2", 1), ("empty", 0)],
+            "req_id string, total_pages int",
+        )
+        rows = split_pages_plan(reqs).orderBy("req_id", "page_num").collect()
+        by_req = {}
+        for r in rows:
+            by_req.setdefault(r["req_id"], []).append(r)
+        for req, total in [("r1", 4), ("r2", 1)]:
+            expected = split_pages(total)
+            assert [(r["page_num"], r["out_name"]) for r in by_req[req]] == \
+                [(e["page_num"], e["out_name"]) for e in expected]
+            assert all(r["error"] is None for r in by_req[req])
+        # zero pages → reference's "PDF has no pages" error row
+        with pytest.raises(PageRangeError):
+            split_pages(0)
+        assert by_req["empty"][0]["error"] == "PDF has no pages"
+        assert by_req["empty"][0]["out_name"] is None
+
+
+class TestBatchInfoPlan:
+    @pytest.mark.parametrize("total,bs,size", [
+        (10, 3, 3_000_000), (7, 7, 512_000), (5, 100, 10_000_000),
+        (9, 4, 1_048_576),
+    ])
+    def test_matches_refsem(self, spark, total, bs, size):
+        reqs = spark.createDataFrame(
+            [("r", total, bs, size)],
+            "req_id string, total_pages int, batch_size int, file_size_bytes bigint",
+        )
+        got = batch_info_plan(reqs).collect()[0].asDict()
+        exp = batch_split_info(total, bs, size)
+        for k in exp:
+            assert got[k] == exp[k], f"{k}: {got[k]} != {exp[k]}"
+        assert got["error"] is None
+
+    def test_error_channel(self, spark):
+        reqs = spark.createDataFrame(
+            [("zero_bs", 10, 0, 100), ("no_pages", 0, 3, 100)],
+            "req_id string, total_pages int, batch_size int, file_size_bytes bigint",
+        )
+        rows = {r["req_id"]: r for r in batch_info_plan(reqs).collect()}
+        assert rows["zero_bs"]["error"] == "Batch size must be greater than 0"
+        assert rows["no_pages"]["error"] == "PDF has no pages"
+        assert rows["zero_bs"]["batch_count"] is None
+
+
+class TestMergePagesPlan:
+    # mirrors the route docstring example (pdf.py:656: "[[1,2,3], [1,5,6],
+    # [2,4]]") plus skip cases: empty selection, out-of-range pages
+    SPECS = [(3, [1, 2, 3]), (6, [1, 5, 6]), (4, [2, 4]),
+             (5, []), (2, [0, 3, 1])]
+
+    def test_matches_refsem(self, spark):
+        reqs = spark.createDataFrame(
+            [("m1", self.SPECS)],
+            "req_id string, files array<struct<n_pages:int,selected:array<int>>>",
+        )
+        got = [r.asDict() for r in merge_pages_plan(reqs).collect()]
+        exp = merge_pages_order(self.SPECS)
+        assert [(g["file_pos"], g["sel_pos"], g["page_num"], g["out_pos"],
+                 g["error"]) for g in got] == \
+            [(e["file_pos"], e["sel_pos"], e["page_num"], e["out_pos"],
+              e["error"]) for e in exp]
+
+    def test_out_of_range_skipped_with_reference_warning(self, spark):
+        reqs = spark.createDataFrame(
+            [("m", [(2, [1, 9])])],
+            "req_id string, files array<struct<n_pages:int,selected:array<int>>>",
+        )
+        rows = merge_pages_plan(reqs).orderBy("sel_pos").collect()
+        assert rows[0]["out_pos"] == 0 and rows[0]["error"] is None
+        assert rows[1]["out_pos"] is None
+        # pdf_service.py:514-516 warning text
+        assert rows[1]["error"] == \
+            "Page 9 is out of range for PDF 1 (has 2 pages). Skipping."
+
+    def test_multi_request_isolation(self, spark):
+        reqs = spark.createDataFrame(
+            [("a", [(3, [3, 1])]), ("b", [(2, [2])])],
+            "req_id string, files array<struct<n_pages:int,selected:array<int>>>",
+        )
+        rows = {(r["req_id"], r["sel_pos"]): r
+                for r in merge_pages_plan(reqs).collect()}
+        # out_pos restarts per request; selection order preserved (3 then 1)
+        assert rows[("a", 0)]["page_num"] == 3 and rows[("a", 0)]["out_pos"] == 0
+        assert rows[("a", 1)]["page_num"] == 1 and rows[("a", 1)]["out_pos"] == 1
+        assert rows[("b", 0)]["out_pos"] == 0
+
+
+class TestMergeRangesPlan:
+    SPECS = [(10, ["1-3", "5"]), (4, ["7-9", "2"]), (6, ["-2", "5-", "a-b"]),
+             (3, [])]
+
+    def test_matches_refsem(self, spark):
+        reqs = spark.createDataFrame(
+            [("m1", self.SPECS)],
+            "req_id string, files array<struct<n_pages:int,ranges:array<string>>>",
+        )
+        got = [r.asDict() for r in merge_ranges_plan(reqs).collect()]
+        exp = merge_ranges_order(self.SPECS)
+        assert [(g["file_pos"], g["range_pos"], g["page_range"], g["page_num"],
+                 g["out_pos"], g["error"]) for g in got] == \
+            [(e["file_pos"], e["range_pos"], e["page_range"], e["page_num"],
+              e["out_pos"], e["error"]) for e in exp]
+
+    def test_invalid_range_skipped_whole(self, spark):
+        # pdf_service.py:595-597: a bad range skips THAT range only
+        reqs = spark.createDataFrame(
+            [("m", [(4, ["7-9", "2"])])],
+            "req_id string, files array<struct<n_pages:int,ranges:array<string>>>",
+        )
+        rows = merge_ranges_plan(reqs).orderBy("range_pos", "page_num").collect()
+        assert rows[0]["page_num"] is None
+        assert rows[0]["error"] == ("Skipping invalid range '7-9' for PDF 1: "
+                                    "Page range 7-9 exceeds document length (4 pages)")
+        assert (rows[1]["page_num"], rows[1]["out_pos"]) == (2, 0)
+
+
+class TestMergeSelectionInfo:
+    def test_rollup_and_no_valid_pages_error(self, spark):
+        reqs = spark.createDataFrame(
+            [("ok", [(3, [1, 2]), (2, [5])]),   # 2 added, 1 skipped
+             ("allbad", [(2, [9, 0])])],        # nothing survives
+            "req_id string, files array<struct<n_pages:int,selected:array<int>>>",
+        )
+        rows = {r["req_id"]: r for r in merge_selection_info(reqs).collect()}
+        ok = rows["ok"]
+        assert (ok["files_count"], ok["pages_added"], ok["pages_skipped"]) == (2, 2, 1)
+        assert ok["error"] is None
+        bad = rows["allbad"]
+        assert bad["pages_added"] == 0
+        # pdf_service.py:525 — the reference's zero-pages error
+        assert bad["error"] == "No valid pages were selected for merging"
 
 
 class TestMergeInfo:
