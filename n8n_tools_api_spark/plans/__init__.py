@@ -1,5 +1,8 @@
-from .catalog import ORACLE_QUERIES
+from .catalog import ORACLE_QUERIES as _CATALOG_QUERIES
+from .pdf_queries import PDF_ORACLE_QUERIES
 from .pipeline_queries import PIPELINE_QUERIES
+
+ORACLE_QUERIES = {**_CATALOG_QUERIES, **PDF_ORACLE_QUERIES}
 
 
 def all_queries():

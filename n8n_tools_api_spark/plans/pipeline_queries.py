@@ -244,23 +244,6 @@ def formatted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def pdf_split_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF range-split plan over a deterministic request matrix
-    (mirrors tests/unit/test_pdf_service.py:51-108 cases)."""
-    from n8n_tools_api_spark.operators.pdf_plans import split_ranges_plan
-
-    reqs = spark.createDataFrame(
-        [
-            ("r1", ["1-3", "5", "7-9"], 10),
-            ("r2", ["-3", "8-"], 10),
-            ("r3", ["0", "15", "7-3", "a-b", "1--3"], 10),
-            ("r4", ["1-10"], 10),
-        ],
-        "req_id string, ranges array<string>, total_pages int",
-    )
-    return split_ranges_plan(reqs).orderBy("req_id", "page_range")
-
-
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_documents_stats": extract_documents_stats,
     "extract_synthetic_stats": extract_synthetic_stats,
@@ -272,7 +255,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "language_id": language_id,
     "multimodal_decode_stats": multimodal_decode_stats,
-    "pdf_split_plans": pdf_split_plans,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "formatted_documents": formatted_documents,
     "ocr_enhanced_images": ocr_enhanced_images,
