@@ -21,6 +21,76 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# raw Mistral responses name coordinates inconsistently; canonical key →
+# alias fallback order (mistral_service.py:678-684)
+_COORD_ALIASES = {
+    "top_left_x": ("top_left_x", "x1", "left"),
+    "top_left_y": ("top_left_y", "y1", "top"),
+    "bottom_right_x": ("bottom_right_x", "x2", "right"),
+    "bottom_right_y": ("bottom_right_y", "y2", "bottom"),
+}
+
+
+def _py_or_chain(cands):
+    """Column twin of Python ``a or b or c``: first non-null NON-ZERO
+    candidate, else the last candidate's raw value (refsem
+    coalesce_coordinate_aliases — a 0 coordinate falls through, the
+    reference quirk we must preserve for span parity)."""
+    result = cands[-1]
+    for c in reversed(cands[:-1]):
+        result = F.when(c.isNotNull() & (c != 0), c).otherwise(result)
+    return result
+
+
+def coalesce_image_aliases(responses: DataFrame) -> DataFrame:
+    """Bronze→silver alias normalization for raw OCR image structs.
+
+    Parity: mistral_service.py:665-727 (_extract_image_coordinates raw
+    path). Input images structs may carry any subset of the alias keys
+    (x1/left, y1/top, x2/right, y2/bottom); output rewrites them to the
+    canonical 7-field struct normalize_official expects. Fields absent
+    from the schema contribute NULL — purely schema-driven, no UDF.
+    """
+    img_type = None
+    for f in responses.schema["pages"].dataType.elementType.fields:
+        if f.name == "images":
+            img_type = f.dataType.elementType
+    present = {f.name for f in img_type.fields}
+
+    def coord(im, canonical):
+        cands = [
+            im[a] if a in present else F.lit(None).cast("int")
+            for a in _COORD_ALIASES[canonical]
+        ]
+        return _py_or_chain(cands).cast("int").alias(canonical)
+
+    def opt(im, name, default_type="string"):
+        return (im[name] if name in present
+                else F.lit(None).cast(default_type)).alias(name)
+
+    pages = F.transform(
+        F.coalesce(F.col("pages"), F.array()),
+        lambda p: F.struct(
+            p["index"].alias("index"),
+            p["markdown"].alias("markdown"),
+            F.transform(
+                p["images"],
+                lambda im: F.struct(
+                    opt(im, "id"),
+                    coord(im, "top_left_x"),
+                    coord(im, "top_left_y"),
+                    coord(im, "bottom_right_x"),
+                    coord(im, "bottom_right_y"),
+                    opt(im, "image_base64"),
+                    opt(im, "image_annotation"),
+                ),
+            ).alias("images"),
+            p["dimensions"].alias("dimensions"),
+        ),
+    )
+    return responses.withColumn("pages", pages)
+
+
 def normalize_official(responses: DataFrame) -> DataFrame:
     """Fill the official-format defaults and recompute usage_info.
 

@@ -942,6 +942,106 @@ ORDER BY doc_id
 """
 
 
+def ocr_enhanced_images(spark, sf_dir):
+    """Official-format normalization + F8/F10 image enrichment over a
+    deterministic ocr_responses fixture (FIXTURES.md §5 shape) — the
+    DuckDB oracle regenerates the same d/p/k fixture via
+    generate_series and replays the coordinate/quadrant/size math.
+    """
+    from n8n_tools_api_spark.operators.ocr_normalize import enhanced_images
+
+    schema = (
+        "doc_id string, "
+        "pages array<struct<index:int, markdown:string, "
+        "images:array<struct<id:string,top_left_x:int,top_left_y:int,"
+        "bottom_right_x:int,bottom_right_y:int,image_base64:string,"
+        "image_annotation:string>>, "
+        "dimensions:struct<dpi:int,height:int,width:int>>>, "
+        "model string, "
+        "usage_info struct<pages_processed:int, doc_size_bytes:bigint>, "
+        "document_annotation string"
+    )
+    rows = []
+    for d in range(20):
+        pages = []
+        for p in range(1 + d % 3):
+            images = [
+                (f"img_{p}_{k}", 30 * k + d, 40 * k, 30 * k + d + 150,
+                 40 * k + 180, "b64==" if k % 2 == 0 else "",
+                 f"note {k}" if k % 3 == 0 else "")
+                for k in range(d % 4)
+            ]
+            pages.append((p, f"page {p} of doc {d}", images, (200, 792, 612)))
+        rows.append((f"ocr_{d:03d}", pages, "mistral-ocr-latest",
+                     (len(pages), 1000 + d), ""))
+    df = spark.createDataFrame(rows, schema)
+    return (
+        enhanced_images(df)
+        .select("doc_id", "sequence_number", "page_number", "image_id",
+                "width", "height",
+                F.round("width_percent", 4).alias("width_percent"),
+                "quadrant", "relative_size", "position_type",
+                "has_annotation", "has_base64_data")
+        .orderBy("doc_id", "sequence_number")
+    )
+
+
+# Every arithmetic step mirrors enhanced_images (ocr_normalize.py):
+# int/int division is double in both engines, and the percent math keeps
+# the exact expression order ((a/dim)*100) so IEEE results are identical.
+OCR_ENHANCED_SQL = """
+WITH docs AS (
+  SELECT unnest(generate_series(0, 19)) AS d
+),
+pages AS (
+  SELECT d, unnest(generate_series(0, d % 3)) AS p FROM docs
+),
+imgs AS (
+  SELECT d, p, unnest(generate_series(0, d % 4 - 1)) AS k FROM pages
+),
+coords AS (
+  SELECT d, p, k,
+         30 * k + d AS tlx, 40 * k AS tly,
+         30 * k + d + 150 AS brx, 40 * k + 180 AS bry,
+         (30 * k + d) / 612 * 100 AS tlx_pct,
+         (40 * k) / 792 * 100 AS tly_pct,
+         (30 * k + d + 150) / 612 * 100 AS brx_pct,
+         (40 * k + 180) / 792 * 100 AS bry_pct
+  FROM imgs
+),
+enriched AS (
+  SELECT d, p, k, tlx, tly, brx, bry,
+         brx_pct - tlx_pct AS width_pct,
+         (tlx_pct + brx_pct) / 2 AS center_x,
+         (tly_pct + bry_pct) / 2 AS center_y,
+         (brx_pct - tlx_pct) * (bry_pct - tly_pct) / 100 AS area_pct
+  FROM coords
+)
+SELECT 'ocr_' || lpad(CAST(d AS VARCHAR), 3, '0') AS doc_id,
+       CAST(row_number() OVER (PARTITION BY d ORDER BY p, k) AS INT)
+         AS sequence_number,
+       CAST(p + 1 AS INT) AS page_number,
+       'img_' || p || '_' || k AS image_id,
+       CAST(brx - tlx AS INT) AS width,
+       CAST(bry - tly AS INT) AS height,
+       round(width_pct, 4) AS width_percent,
+       CASE WHEN center_x < 50 AND center_y < 50 THEN 'top-left'
+            WHEN center_x >= 50 AND center_y < 50 THEN 'top-right'
+            WHEN center_x < 50 AND center_y >= 50 THEN 'bottom-left'
+            ELSE 'bottom-right' END AS quadrant,
+       CASE WHEN area_pct > 25 THEN 'large'
+            WHEN area_pct > 5 THEN 'medium'
+            ELSE 'small' END AS relative_size,
+       CASE WHEN center_x > 20 AND center_x < 80 THEN 'centered-horizontal'
+            WHEN center_x <= 20 THEN 'left-aligned'
+            ELSE 'right-aligned' END AS position_type,
+       (k % 3 = 0) AS has_annotation,
+       (k % 2 = 0) AS has_base64_data
+FROM enriched
+ORDER BY doc_id, sequence_number
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -978,4 +1078,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "event_sessions_full": (event_sessions_full, SESSIONS_FULL_SQL),
     "extract_clean_fingerprints": (extract_clean_fingerprints, EXTRACT_CLEAN_SQL),
     "doc_chain_components": (doc_chain_components, CHAIN_COMPONENTS_SQL),
+    "ocr_enhanced_images": (ocr_enhanced_images, OCR_ENHANCED_SQL),
 }

@@ -168,47 +168,6 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ocr_enhanced_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Official-format normalization + F8/F10 image enrichment over a
-    deterministic ocr_responses fixture (FIXTURES.md §5 shape)."""
-    from n8n_tools_api_spark.operators.ocr_normalize import enhanced_images
-
-    schema = (
-        "doc_id string, "
-        "pages array<struct<index:int, markdown:string, "
-        "images:array<struct<id:string,top_left_x:int,top_left_y:int,"
-        "bottom_right_x:int,bottom_right_y:int,image_base64:string,"
-        "image_annotation:string>>, "
-        "dimensions:struct<dpi:int,height:int,width:int>>>, "
-        "model string, "
-        "usage_info struct<pages_processed:int, doc_size_bytes:bigint>, "
-        "document_annotation string"
-    )
-    rows = []
-    for d in range(20):
-        pages = []
-        for p in range(1 + d % 3):
-            images = [
-                (f"img_{p}_{k}", 30 * k + d, 40 * k, 30 * k + d + 150,
-                 40 * k + 180, "b64==" if k % 2 == 0 else "",
-                 f"note {k}" if k % 3 == 0 else "")
-                for k in range(d % 4)
-            ]
-            pages.append((p, f"page {p} of doc {d}", images, (200, 792, 612)))
-        rows.append((f"ocr_{d:03d}", pages, "mistral-ocr-latest",
-                     (len(pages), 1000 + d), ""))
-    df = spark.createDataFrame(rows, schema)
-    return (
-        enhanced_images(df)
-        .select("doc_id", "sequence_number", "page_number", "image_id",
-                "width", "height",
-                F.round("width_percent", 4).alias("width_percent"),
-                "quadrant", "relative_size", "position_type",
-                "has_annotation", "has_base64_data")
-        .orderBy("doc_id", "sequence_number")
-    )
-
-
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups via hyperplane LSH + exact verify.
 
@@ -260,5 +219,4 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "formatted_documents": formatted_documents,
-    "ocr_enhanced_images": ocr_enhanced_images,
 }

@@ -24,6 +24,7 @@ from .textclean import (
     LANGUAGE_PATTERNS,
 )
 from .images import (
+    coalesce_coordinate_aliases,
     detect_image_format,
     detect_image_format_full,
     validate_base64_image,
@@ -68,6 +69,7 @@ __all__ = [
     "extract_markdown_image_refs",
     "CONFIDENCE_PATTERNS",
     "LANGUAGE_PATTERNS",
+    "coalesce_coordinate_aliases",
     "detect_image_format",
     "detect_image_format_full",
     "validate_base64_image",

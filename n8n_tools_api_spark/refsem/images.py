@@ -140,6 +140,24 @@ def image_size_info(base64_data: str) -> dict:
     }
 
 
+def coalesce_coordinate_aliases(image: dict) -> dict:
+    """Raw-path alias coalesce for image coordinates.
+
+    Parity: mistral_service.py:678-684 (_extract_image_coordinates'
+    raw_coords) — each canonical key falls back through its aliases with
+    Python ``or`` semantics, so a 0 coordinate (falsy!) falls through to
+    the next alias; if every candidate is falsy the LAST one's value
+    survives (0 beats a later None position-wise only when nothing
+    after it is truthy — exact ``a or b or c`` behavior).
+    """
+    return {
+        "top_left_x": image.get("top_left_x") or image.get("x1") or image.get("left"),
+        "top_left_y": image.get("top_left_y") or image.get("y1") or image.get("top"),
+        "bottom_right_x": image.get("bottom_right_x") or image.get("x2") or image.get("right"),
+        "bottom_right_y": image.get("bottom_right_y") or image.get("y2") or image.get("bottom"),
+    }
+
+
 def normalize_image_coordinates(coordinates: dict, page_dimensions: dict) -> dict:
     """Absolute → relative/dimension coordinate enrichment.
 

@@ -199,3 +199,88 @@ class TestImageLimit:
         # cap keeps the FIRST 50 by offset, even with shuffled array order
         shuffled = list(reversed(spans))
         assert extract_document(shuffled) == out
+
+
+class TestCoordinateAliasCoalesce:
+    # canonical, x1-style, left-style, the 0-falls-through quirk, all-falsy
+    CASES = [
+        {"top_left_x": 10, "top_left_y": 20, "bottom_right_x": 110,
+         "bottom_right_y": 220},
+        {"x1": 5, "y1": 6, "x2": 50, "y2": 60},
+        {"left": 7, "top": 8, "right": 70, "bottom": 80},
+        # reference quirk: 0 is falsy in `a or b or c`, so x1 wins
+        {"top_left_x": 0, "x1": 9, "top_left_y": 3, "bottom_right_x": 33,
+         "bottom_right_y": 44},
+        # everything falsy → last alias's raw value survives (None here)
+        {"top_left_x": 0, "x1": 0},
+        {},
+    ]
+
+    def test_matches_refsem_or_semantics(self, spark):
+        from n8n_tools_api_spark.operators.ocr_normalize import (
+            coalesce_image_aliases)
+        from n8n_tools_api_spark.refsem import coalesce_coordinate_aliases
+
+        schema = (
+            "doc_id string, "
+            "pages array<struct<index:int, markdown:string, "
+            "images:array<struct<id:string,"
+            "top_left_x:int,x1:int,left:int,"
+            "top_left_y:int,y1:int,top:int,"
+            "bottom_right_x:int,x2:int,right:int,"
+            "bottom_right_y:int,y2:int,bottom:int,"
+            "image_base64:string,image_annotation:string>>, "
+            "dimensions:struct<dpi:int,height:int,width:int>>>, "
+            "model string, "
+            "usage_info struct<pages_processed:int, doc_size_bytes:bigint>, "
+            "document_annotation string"
+        )
+        keys = ["top_left_x", "x1", "left", "top_left_y", "y1", "top",
+                "bottom_right_x", "x2", "right",
+                "bottom_right_y", "y2", "bottom"]
+        images = [
+            tuple([f"img_{i}"] + [c.get(k) for k in keys] + ["b64==", ""])
+            for i, c in enumerate(self.CASES)
+        ]
+        df = spark.createDataFrame(
+            [("d0", [(0, "md", images, (200, 792, 612))], "m", (1, 10), "")],
+            schema,
+        )
+        out = coalesce_image_aliases(df).collect()[0]
+        got = {im["id"]: im for im in out["pages"][0]["images"]}
+        for i, case in enumerate(self.CASES):
+            expected = coalesce_coordinate_aliases(case)
+            im = got[f"img_{i}"]
+            for canon in ["top_left_x", "top_left_y",
+                          "bottom_right_x", "bottom_right_y"]:
+                assert im[canon] == expected[canon], (i, canon, dict(im.asDict()))
+        # output struct is the canonical 7-field shape normalize_official
+        # expects, so the silver path runs unchanged
+        from n8n_tools_api_spark.operators.ocr_normalize import enhanced_images
+        rows = enhanced_images(coalesce_image_aliases(df)).collect()
+        assert len(rows) == len(self.CASES)
+
+    def test_missing_alias_columns_are_fine(self, spark):
+        from n8n_tools_api_spark.operators.ocr_normalize import (
+            coalesce_image_aliases, enhanced_images)
+
+        # schema with ONLY x1-style keys — canonical/left variants absent
+        schema = (
+            "doc_id string, "
+            "pages array<struct<index:int, markdown:string, "
+            "images:array<struct<id:string,x1:int,y1:int,x2:int,y2:int,"
+            "image_base64:string,image_annotation:string>>, "
+            "dimensions:struct<dpi:int,height:int,width:int>>>, "
+            "model string, "
+            "usage_info struct<pages_processed:int, doc_size_bytes:bigint>, "
+            "document_annotation string"
+        )
+        df = spark.createDataFrame(
+            [("d0", [(0, "md", [("a", 5, 6, 50, 60, "x", "")],
+                      (200, 792, 612))], "m", (1, 9), "")],
+            schema,
+        )
+        im = enhanced_images(coalesce_image_aliases(df)).collect()[0]
+        assert (im["top_left_x"], im["top_left_y"]) == (5, 6)
+        assert (im["bottom_right_x"], im["bottom_right_y"]) == (50, 60)
+        assert im["width"] == 45 and im["height"] == 54
