@@ -62,18 +62,60 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 5,
     )
 
 
+def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 5,
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h_raw) rows: 64-bit hash per distinct k-word shingle
+    WITHOUT materializing shingle strings.
+
+    Each word is xxhash64'd once (hoisted projection), then every
+    k-window folds with an XOR-rotate combine — bit ops only, so no
+    ANSI overflow and no per-shingle string allocation. The string
+    path (word_shingles + concat_ws) allocates ~50 B of UTF-8 per
+    shingle and is DRAM-bandwidth-bound when every core is busy; this
+    variant moves ~5× less memory in the hot loop (see
+    BENCH/BASELINE.md suite 2).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_wh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
+    )
+    wh = F.col("_wh")
+    n = F.size(wh)
+
+    def rot_fold(acc, v):
+        return (
+            F.shiftleft(acc, 5)
+            .bitwiseOR(F.shiftrightunsigned(acc, 59))
+            .bitwiseXOR(v)
+        )
+
+    zero = F.lit(0).cast("bigint")
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.aggregate(F.slice(wh, i + 1, k), zero, rot_fold),
+        ),
+    ).otherwise(F.array(F.aggregate(wh, zero, rot_fold)))
+    return with_wh.select(
+        "doc_id", F.explode(F.array_distinct(hashes)).alias("h_raw")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, k: int = 5,
                        id_col: str = "doc_id") -> DataFrame:
     """Per-document MinHash signature: (doc_id, sig array<bigint>).
 
-    One explode + one groupBy: each shingle is hashed once (xxhash64),
-    then the 64 permutations are 64 cheap min() aggregates over the
-    same base hash — map-side partial aggregation keeps the shuffle to
-    64 longs per doc regardless of document size.
+    One explode + one groupBy: each shingle is hashed once (xxhash64
+    word hashes folded per k-window — shingle_hashes), then the 64
+    permutations are 64 cheap min() aggregates over the same base hash
+    — map-side partial aggregation keeps the shuffle to 64 longs per
+    doc regardless of document size.
     """
-    base = word_shingles(df, text_col, k, id_col).withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    base = shingle_hashes(df, text_col, k, id_col).withColumn(
+        "h", F.pmod(F.col("h_raw"), F.lit(_MERSENNE_P))
     )
     mins = [
         F.min(((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P))).alias(f"m{j}")
@@ -380,6 +422,11 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                   F.col("doc_a").alias("dst")))
         .distinct()
+        # materialize: edges join into EVERY round — without this the
+        # whole upstream candidate pipeline (MinHash etc.) re-executes
+        # once per round per union branch (measured 2.4× on the dedup
+        # scaling suite)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))

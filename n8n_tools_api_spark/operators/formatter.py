@@ -107,3 +107,44 @@ def _format_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def format_documents(docs: DataFrame) -> DataFrame:
     """Interleaved docs → formatted-response rows (narrow, no shuffle)."""
     return docs.mapInPandas(_format_batches, schema=FORMATTED_SCHEMA)
+
+
+def processing_info(metrics: DataFrame) -> DataFrame:
+    """Per-request processing_info rollup — pure column expressions.
+
+    Parity: ocr_response_formatter.py:752-810 (_create_processing_info).
+    In the batch engine the wall-clock duration is an *input* column
+    (from the lineage/metrics table) rather than time.time(), so the
+    whole record is deterministic: characters/pages per second
+    (round 2) and the efficiency tier (<5000 ms excellent / <15000
+    good / <30000 average / else slow; 'unknown' when the duration is
+    zero or missing — the reference's pre-populated default survives
+    its `if processing_time_seconds > 0` guard).
+
+    Input: (req_id, processing_time_ms double, source_type string,
+    model string, pages_processed int, total_text_length bigint).
+    """
+    from pyspark.sql import functions as F
+
+    ms = F.col("processing_time_ms")
+    secs = ms / 1000
+    ok = ms.isNotNull() & (ms > 0)
+    return metrics.select(
+        "req_id",
+        F.round(ms, 2).alias("processing_time_ms"),
+        "source_type",
+        F.coalesce(F.col("model"), F.lit("mistral-ocr-latest"))
+        .alias("ai_model_used"),
+        F.lit("mistral-ai").alias("service_provider"),
+        F.coalesce(F.col("pages_processed"), F.lit(0)).alias("pages_processed"),
+        F.when(ok, F.round(F.col("total_text_length") / secs, 2))
+        .otherwise(F.lit(0.0)).alias("characters_per_second"),
+        F.when(ok, F.round(F.col("pages_processed") / secs, 2))
+        .otherwise(F.lit(0.0)).alias("pages_per_second"),
+        F.when(~ok, "unknown")
+        .when(ms < 5000, "excellent")
+        .when(ms < 15000, "good")
+        .when(ms < 30000, "average")
+        .otherwise("slow")
+        .alias("processing_efficiency"),
+    )

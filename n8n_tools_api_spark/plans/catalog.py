@@ -1042,6 +1042,60 @@ ORDER BY doc_id, sequence_number
 """
 
 
+def processing_info_rollup(spark, sf_dir):
+    """Per-request processing_info (ocr_response_formatter.py:752-810)
+    over metrics derived from the documents table — duration is an
+    input column in batch-land, so the tiers/ratios are deterministic
+    and DuckDB-replayable. Covers the tier taxonomy incl. the zero-
+    duration 'unknown' path and the model default."""
+    from n8n_tools_api_spark.operators.formatter import processing_info
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    metrics = docs.select(
+        F.col("doc_id").alias("req_id"),
+        ((F.col("doc_id") % 40) * 1000).cast("double").alias("processing_time_ms"),
+        F.when(F.col("doc_id") % 2 == 0, "pdf_upload").otherwise("image_url")
+        .alias("source_type"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("mistral-ocr-latest")).alias("model"),
+        (1 + F.col("doc_id") % 12).cast("int").alias("pages_processed"),
+        F.length("text").cast("bigint").alias("total_text_length"),
+    )
+    return processing_info(metrics).orderBy("req_id")
+
+
+PROCESSING_INFO_SQL = """
+WITH metrics AS (
+  SELECT doc_id AS req_id,
+         CAST((doc_id % 40) * 1000 AS DOUBLE) AS ms,
+         CASE WHEN doc_id % 2 = 0 THEN 'pdf_upload'
+              ELSE 'image_url' END AS source_type,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE 'mistral-ocr-latest' END AS model,
+         CAST(1 + doc_id % 12 AS INT) AS pages_processed,
+         CAST(length(text) AS BIGINT) AS total_text_length
+  FROM documents WHERE doc_id < 200
+)
+SELECT req_id,
+       round(ms, 2) AS processing_time_ms,
+       source_type,
+       COALESCE(model, 'mistral-ocr-latest') AS ai_model_used,
+       'mistral-ai' AS service_provider,
+       pages_processed,
+       CASE WHEN ms > 0 THEN round(total_text_length / (ms / 1000), 2)
+            ELSE 0.0 END AS characters_per_second,
+       CASE WHEN ms > 0 THEN round(pages_processed / (ms / 1000), 2)
+            ELSE 0.0 END AS pages_per_second,
+       CASE WHEN ms IS NULL OR ms <= 0 THEN 'unknown'
+            WHEN ms < 5000 THEN 'excellent'
+            WHEN ms < 15000 THEN 'good'
+            WHEN ms < 30000 THEN 'average'
+            ELSE 'slow' END AS processing_efficiency
+FROM metrics
+ORDER BY req_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1079,4 +1133,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "extract_clean_fingerprints": (extract_clean_fingerprints, EXTRACT_CLEAN_SQL),
     "doc_chain_components": (doc_chain_components, CHAIN_COMPONENTS_SQL),
     "ocr_enhanced_images": (ocr_enhanced_images, OCR_ENHANCED_SQL),
+    "processing_info_rollup": (processing_info_rollup, PROCESSING_INFO_SQL),
 }

@@ -95,3 +95,34 @@ class TestEmbeddingNearDups:
         for r in pairs:
             if r["vec_b"] == r["vec_a"] + 1_000_000:
                 assert r["cosine_sim"] == pytest.approx(1.0, abs=1e-3)
+
+
+class TestProcessingInfo:
+    def test_tier_taxonomy_and_defaults(self, spark):
+        from n8n_tools_api_spark.operators.formatter import processing_info
+
+        metrics = spark.createDataFrame(
+            [("fast", 4999.0, "pdf_upload", None, 10, 50000),
+             ("good", 5000.0, "pdf_upload", "m", 10, 50000),
+             ("avg", 15000.0, "image_url", "m", 3, 30000),
+             ("slow", 30000.0, "image_url", "m", 3, 30000),
+             ("zero", 0.0, "pdf_upload", "m", 1, 100),
+             ("none", None, "pdf_upload", "m", 1, 100)],
+            "req_id string, processing_time_ms double, source_type string, "
+            "model string, pages_processed int, total_text_length bigint",
+        )
+        rows = {r["req_id"]: r for r in processing_info(metrics).collect()}
+        # ocr_response_formatter.py:800-807 boundaries are strict <
+        assert rows["fast"]["processing_efficiency"] == "excellent"
+        assert rows["good"]["processing_efficiency"] == "good"
+        assert rows["avg"]["processing_efficiency"] == "average"
+        assert rows["slow"]["processing_efficiency"] == "slow"
+        assert rows["zero"]["processing_efficiency"] == "unknown"
+        assert rows["none"]["processing_efficiency"] == "unknown"
+        # :785-791 ratios; zero-duration keeps the pre-populated 0s
+        assert rows["fast"]["characters_per_second"] == round(50000 / 4.999, 2)
+        assert rows["slow"]["pages_per_second"] == 0.1
+        assert rows["zero"]["characters_per_second"] == 0.0
+        # model default (:777) and provider constant (:778)
+        assert rows["fast"]["ai_model_used"] == "mistral-ocr-latest"
+        assert rows["fast"]["service_provider"] == "mistral-ai"
