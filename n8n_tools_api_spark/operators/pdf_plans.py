@@ -360,6 +360,45 @@ def merge_ranges_plan(requests: DataFrame) -> DataFrame:
     ).orderBy("req_id", "file_pos", "range_pos", "page_num")
 
 
+# O4 request caps — the reference's validation layer as filters.
+# pdf_models.py:14-19 (ranges min_items=1 / max_items=50),
+# pdf_models.py:182-187 (batch_size gt=0 le=1000),
+# pdf.py:525-535 (merge: ≥2 files, ≤20 files), pdf.py:142-144.
+_CAP_FAMILIES = {
+    "split_ranges": lambda: (
+        F.when(F.size("ranges") < 1, F.lit("No page ranges specified"))
+        .when(F.size("ranges") > 50, F.lit("Maximum 50 ranges allowed"))
+    ),
+    "batch": lambda: (
+        F.when(F.col("batch_size").isNull() | (F.col("batch_size") <= 0),
+               F.lit("Batch size must be greater than 0"))
+        .when(F.col("batch_size") > 1000,
+              F.lit("Batch size must not exceed 1000"))
+    ),
+    "merge": lambda: (
+        F.when(F.size("files") < 2,
+               F.lit("At least 2 PDF files are required for merging"))
+        .when(F.size("files") > 20,
+              F.lit("Maximum 20 files allowed for merging"))
+    ),
+}
+
+
+def enforce_request_caps(requests: DataFrame, family: str) -> DataFrame:
+    """Append the O4 request-cap error column for a request family.
+
+    The reference enforces these at the HTTP/pydantic layer before any
+    PDF work happens; the batch analog is a pure-projection error
+    side-channel evaluated before the plan expansion, so over-cap
+    requests never explode into page rows. Families: 'split_ranges'
+    (1..50 ranges), 'batch' (0 < batch_size ≤ 1000), 'merge' (2..20
+    files).
+    """
+    if family not in _CAP_FAMILIES:
+        raise ValueError(f"unknown cap family: {family!r}")
+    return requests.withColumn("cap_error", _CAP_FAMILIES[family]())
+
+
 def merge_selection_info(requests: DataFrame) -> DataFrame:
     """Per-request rollup of a page-selection merge.
 

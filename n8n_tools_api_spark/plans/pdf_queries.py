@@ -411,6 +411,74 @@ ORDER BY r.req_id
 """
 
 
+def pdf_request_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 request-cap validation (pdf_models.py:14-19,182-187 +
+    pdf.py:525-535) over a matrix that hits every boundary: empty/1/50/
+    51 ranges, batch 0/1/1000/1001, merge 1/2/20/21 files."""
+    from n8n_tools_api_spark.operators.pdf_plans import enforce_request_caps
+
+    ranges_reqs = spark.createDataFrame(
+        [("r_empty", []), ("r_1", ["1"]), ("r_50", [str(i) for i in range(1, 51)]),
+         ("r_51", [str(i) for i in range(1, 52)])],
+        "req_id string, ranges array<string>",
+    )
+    batch_reqs = spark.createDataFrame(
+        [("b_0", 0), ("b_1", 1), ("b_1000", 1000), ("b_1001", 1001),
+         ("b_null", None)],
+        "req_id string, batch_size int",
+    )
+    merge_reqs = spark.createDataFrame(
+        [("m_1", 1), ("m_2", 2), ("m_20", 20), ("m_21", 21)],
+        "req_id string, n int",
+    ).select("req_id", F.transform(F.sequence(F.lit(1), F.col("n")),
+                                   lambda i: i).alias("files"))
+    out = (
+        enforce_request_caps(ranges_reqs, "split_ranges")
+        .select("req_id", F.lit("split_ranges").alias("family"), "cap_error")
+        .unionByName(
+            enforce_request_caps(batch_reqs, "batch")
+            .select("req_id", F.lit("batch").alias("family"), "cap_error"))
+        .unionByName(
+            enforce_request_caps(merge_reqs, "merge")
+            .select("req_id", F.lit("merge").alias("family"), "cap_error"))
+    )
+    return out.orderBy("family", "req_id")
+
+
+PDF_REQUEST_CAPS_SQL = """
+WITH ranges_reqs(req_id, n_ranges) AS (
+  VALUES ('r_empty', 0), ('r_1', 1), ('r_50', 50), ('r_51', 51)
+),
+batch_reqs(req_id, batch_size) AS (
+  VALUES ('b_0', 0), ('b_1', 1), ('b_1000', 1000), ('b_1001', 1001),
+         ('b_null', NULL)
+),
+merge_reqs(req_id, n_files) AS (
+  VALUES ('m_1', 1), ('m_2', 2), ('m_20', 20), ('m_21', 21)
+)
+SELECT req_id, 'split_ranges' AS family,
+       CASE WHEN n_ranges < 1 THEN 'No page ranges specified'
+            WHEN n_ranges > 50 THEN 'Maximum 50 ranges allowed'
+       END AS cap_error
+FROM ranges_reqs
+UNION ALL
+SELECT req_id, 'batch',
+       CASE WHEN batch_size IS NULL OR batch_size <= 0
+              THEN 'Batch size must be greater than 0'
+            WHEN batch_size > 1000 THEN 'Batch size must not exceed 1000'
+       END
+FROM batch_reqs
+UNION ALL
+SELECT req_id, 'merge',
+       CASE WHEN n_files < 2
+              THEN 'At least 2 PDF files are required for merging'
+            WHEN n_files > 20 THEN 'Maximum 20 files allowed for merging'
+       END
+FROM merge_reqs
+ORDER BY family, req_id
+"""
+
+
 PDF_ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
     "pdf_split_plans": (pdf_split_plans, PDF_SPLIT_SQL),
     "pdf_page_plans": (pdf_page_plans, PDF_PAGE_PLANS_SQL),
@@ -419,4 +487,5 @@ PDF_ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], st
     "pdf_merge_pages_plan": (pdf_merge_pages_plan, PDF_MERGE_PAGES_SQL),
     "pdf_merge_ranges_plan": (pdf_merge_ranges_plan, PDF_MERGE_RANGES_SQL),
     "pdf_merge_selection_info": (pdf_merge_selection_info, PDF_MERGE_INFO_SQL),
+    "pdf_request_caps": (pdf_request_caps, PDF_REQUEST_CAPS_SQL),
 }
