@@ -62,18 +62,17 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 5,
     )
 
 
-def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 5,
-                   id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, h_raw) rows: 64-bit hash per distinct k-word shingle
-    WITHOUT materializing shingle strings.
+def shingle_hash_array(df: DataFrame, text_col: str = "text", k: int = 5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle_hashes array<bigint>): one 64-bit hash per
+    k-word shingle WITHOUT materializing shingle strings.
 
-    Each word is xxhash64'd once (hoisted projection), then every
-    k-window folds with an XOR-rotate combine — bit ops only, so no
-    ANSI overflow and no per-shingle string allocation. The string
-    path (word_shingles + concat_ws) allocates ~50 B of UTF-8 per
-    shingle and is DRAM-bandwidth-bound when every core is busy; this
-    variant moves ~5× less memory in the hot loop (see
-    BENCH/BASELINE.md suite 2).
+    Each word is xxhash64'd once (hoisted projection — inlined, the
+    split re-evaluates per shingle, O(words²); round-2 finding), then
+    every k-window folds with an XOR-rotate combine — bit ops only, so
+    no ANSI overflow and no per-shingle string allocation. Short
+    documents fall back to the whole text as one shingle so no
+    document vanishes.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     with_wh = df.select(
@@ -98,33 +97,44 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 5,
             lambda i: F.aggregate(F.slice(wh, i + 1, k), zero, rot_fold),
         ),
     ).otherwise(F.array(F.aggregate(wh, zero, rot_fold)))
-    return with_wh.select(
-        "doc_id", F.explode(F.array_distinct(hashes)).alias("h_raw")
-    )
+    return with_wh.select("doc_id", hashes.alias("shingle_hashes"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, k: int = 5,
                        id_col: str = "doc_id") -> DataFrame:
-    """Per-document MinHash signature: (doc_id, sig array<bigint>).
+    """Per-document MinHash signature: (doc_id, sig array<bigint>) —
+    a NARROW map, zero shuffle.
 
-    One explode + one groupBy: each shingle is hashed once (xxhash64
-    word hashes folded per k-window — shingle_hashes), then the 64
-    permutations are 64 cheap min() aggregates over the same base hash
-    — map-side partial aggregation keeps the shuffle to 64 longs per
-    doc regardless of document size.
+    A document's shingles are already an array, so the 64 permutation
+    minima compute per-row: for each permutation j,
+    ``array_min(transform(hashes, h → (a_j·h + b_j) mod p))`` — a tight
+    codegen'd loop per j, no shuffle anywhere. The explode + 64-min
+    groupBy formulation was value-identical but paid a wide
+    hash-aggregate whose working set (64 longs × every in-flight doc)
+    thrashes the shared cache as cores scale (measured 30% task-CPU
+    inflation 2→8 cores); a fold via aggregate+zip_with was also tried
+    and lost 4× to per-step array allocation. This form measured 3.6×
+    faster than the groupBy at 8 cores and scales at 0.83 on the 2→8
+    pair (BENCH/BASELINE.md suite 2), leaving the LSH bucket join as
+    the ONLY exchange in the dedup path (pinned by
+    test_minhash_banded_plan_is_narrow).
+
+    Duplicate shingles don't affect a min, so no distinct pass is
+    needed; signatures are bit-identical to the groupBy formulation
+    (NULL text folds to a [NULL] shingle array on both paths).
     """
-    base = shingle_hashes(df, text_col, k, id_col).withColumn(
-        "h", F.pmod(F.col("h_raw"), F.lit(_MERSENNE_P))
+    P = F.lit(_MERSENNE_P)
+    base = shingle_hash_array(df, text_col, k, id_col).select(
+        "doc_id",
+        F.transform("shingle_hashes", lambda v: F.pmod(v, P)).alias("_hs"),
     )
-    mins = [
-        F.min(((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P))).alias(f"m{j}")
-        for j, (a, b) in enumerate(_perm_params(num_hashes))
-    ]
-    agg = base.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
-    )
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_hs"),
+                                lambda h: (F.lit(a) * h + F.lit(b)) % P))
+        for a, b in _perm_params(num_hashes)
+    ])
+    return base.select("doc_id", sig.alias("sig"))
 
 
 def minhash_banded(df: DataFrame, text_col: str = "text",

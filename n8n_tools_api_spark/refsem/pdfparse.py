@@ -28,11 +28,14 @@ import zlib
 
 MAX_PDF_BYTES = 50 * 1024 * 1024  # app/core/config.py:24
 
-_RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.DOTALL)
+_RE_OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+_RE_STREAM_START = re.compile(rb"stream(\r\n|\n|\r)")
+# direct /Length only; an indirect "/Length 5 0 R" falls back to the
+# endstream scan
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _RE_PAGES_KIDS = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _RE_REF = re.compile(rb"(\d+)\s+0\s+R")
 _RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
-_RE_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _RE_TJ = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*\]\s*TJ")
 _RE_PDF_STRING = re.compile(rb"\((?:[^()\\]|\\.)*\)")
 _RE_INFO_REF = re.compile(rb"/Info\s+(\d+)\s+0\s+R")
@@ -86,15 +89,55 @@ def _unescape_pdf_string(raw: bytes) -> str:
 
 
 def _objects(content: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _RE_OBJ.finditer(content)}
+    """Sequential object scan, /Length-aware.
+
+    A naive ``obj(.*?)endobj`` regex truncates whenever compressed
+    stream bytes happen to contain ``endobj``/``endstream`` (or end in
+    ``\\r``, which a ``\\r?\\n endstream`` separator would eat —
+    hypothesis found both). When a stream dict carries a direct
+    /Length, the scan skips exactly that many data bytes before
+    looking for endstream/endobj, so arbitrary binary payloads survive.
+    """
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _RE_OBJ_HEAD.search(content, pos)
+        if not m:
+            return objs
+        start = m.end()
+        eo = content.find(b"endobj", start)
+        sm = _RE_STREAM_START.search(content, start)
+        if sm is not None and (eo == -1 or sm.start() < eo):
+            lm = _RE_LENGTH.search(content[start:sm.start()])
+            scan_from = sm.end() + int(lm.group(1)) if lm else sm.end()
+            es = content.find(b"endstream", scan_from)
+            if es != -1:
+                eo = content.find(b"endobj", es)
+        if eo == -1:
+            objs[int(m.group(1))] = content[start:]
+            return objs
+        objs[int(m.group(1))] = content[start:eo]
+        pos = eo + 6
 
 
 def _stream_bytes(body: bytes) -> bytes:
-    m = _RE_STREAM.search(body)
-    if not m:
+    sm = _RE_STREAM_START.search(body)
+    if not sm:
         return b""
-    data = m.group(1)
-    if b"/FlateDecode" in body.split(b"stream", 1)[0]:
+    header = body[:sm.start()]
+    ds = sm.end()
+    lm = _RE_LENGTH.search(header)
+    if lm:
+        data = body[ds:ds + int(lm.group(1))]
+    else:
+        es = body.find(b"endstream", ds)
+        data = body[ds:es] if es != -1 else body[ds:]
+        # the EOL before endstream is a separator, not data (PDF 7.3.8)
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n"):
+            data = data[:-1]
+    if b"/FlateDecode" in header:
         try:
             data = zlib.decompress(data)
         except zlib.error as e:

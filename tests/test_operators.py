@@ -411,6 +411,16 @@ class TestDedup:
                 for r in simhash_hamming_pairs(corpus, max_distance=10).collect()}
         assert rows[("d0", "d0_copy")] == 0
 
+    def test_minhash_banded_plan_is_narrow(self, spark, corpus):
+        # signatures fold per-row (zip_with against the literal perm
+        # params), so shingle→signature→banding is ONE narrow map — the
+        # LSH bucket join is the only exchange in the dedup path
+        from n8n_tools_api_spark.operators.dedup import minhash_banded
+
+        plan = minhash_banded(corpus) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
     def test_ngram_no_window_exchange_no_driver_count(self, spark, corpus):
         # round-1 verdict: the df-cap must not be a Window over every
         # (doc, shingle) row, and the cap must come from an in-plan agg
