@@ -411,13 +411,6 @@ class TestDedup:
                 for r in simhash_hamming_pairs(corpus, max_distance=10).collect()}
         assert rows[("d0", "d0_copy")] == 0
 
-    def test_simhash_plan_is_narrow(self, spark, corpus):
-        # bit votes fold per-row; like MinHash, the chunk-blocked join
-        # is the only exchange in the SimHash path
-        from n8n_tools_api_spark.operators.dedup import simhash_64
-
-        plan = simhash_64(corpus)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
 
     def test_minhash_banded_plan_is_narrow(self, spark, corpus):
         # signatures fold per-row (zip_with against the literal perm
