@@ -18,9 +18,12 @@ plus THIS commit protocol for whole-job restartability:
   (the pipeline is deterministic), so the protocol is idempotent, not
   merely at-least-once.
 
-On a cluster this table is Iceberg and the lineage append is a single
-atomic ``MERGE INTO``; on the local parquet warehouse the lineage
-append relies on parquet-file atomicity (each append is one new file).
+Every read/write goes through sources/iceberg_ddl.py helpers, which
+dispatch per deployment: on a cluster with the catalog attached, the
+data write is an atomic ``overwritePartitions()`` and the lineage
+commit a single ``MERGE INTO``; on the local parquet warehouse the
+same call-sites use dynamic partition overwrite and parquet-file
+atomicity (each append is one new file).
 """
 
 from __future__ import annotations
@@ -30,12 +33,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .extract import extract_spans
-
-LINEAGE_SCHEMA = (
-    "run_id string, bucket int, doc_count bigint, span_count bigint, "
-    "media_ref_count bigint, wall_ms bigint"
+from ..sources.iceberg_ddl import (
+    clear_run_outputs,
+    commit_lineage,
+    overwrite_extracted_buckets,
+    read_lineage,
 )
+from .extract import extract_spans
 
 
 def _with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -44,21 +48,10 @@ def _with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def _delete_path(spark: SparkSession, path: str) -> None:
-    """Recursive delete through Hadoop FS (works for file://, hdfs://,
-    s3a:// alike — os.path/shutil would silently no-op off-local)."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(hconf)
-    if fs.exists(p):
-        fs.delete(p, True)
-
-
 def committed_buckets(spark: SparkSession, lineage_path: str, run_id: str) -> set[int]:
     try:
         rows = (
-            spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+            read_lineage(spark, lineage_path)
             .where(F.col("run_id") == run_id)
             .select("bucket").distinct().collect()
         )
@@ -98,8 +91,7 @@ def resumable_extract(
     # (done non-empty) must NOT clear. Deletion goes through the Hadoop
     # FileSystem API so s3a/hdfs paths behave like local ones.
     if not done:
-        _delete_path(spark, data_path)
-        _delete_path(spark, lineage_path)
+        clear_run_outputs(spark, data_path, lineage_path)
     todo = [b for b in range(n_buckets) if b not in done]
     groups = [todo[i:i + group_size] for i in range(0, len(todo), group_size)]
 
@@ -119,11 +111,7 @@ def resumable_extract(
         # a previous run_id to this run's lineage.
         out = _with_bucket(extracted, n_buckets).persist()
         try:
-            (
-                out.write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(data_path)
-            )
+            overwrite_extracted_buckets(spark, out, data_path)
             # amortized per bucket so lineage_metrics' sum reflects the
             # run's true wall time (review finding: stamping the full
             # group wall on every bucket overcounted by group_size x)
@@ -152,7 +140,7 @@ def resumable_extract(
                     F.lit(wall_ms).cast("bigint").alias("wall_ms"),
                 )
             )
-            stats.write.mode("append").parquet(lineage_path)
+            commit_lineage(spark, stats, lineage_path)
         finally:
             out.unpersist()
         processed.extend(group)
@@ -166,7 +154,7 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 def lineage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """The A9-analog error/health rollup over the lineage table
     (error_metrics.py:178-258 re-expressed as a groupBy)."""
-    lin = spark.read.schema(LINEAGE_SCHEMA).parquet(f"{out_dir}/_lineage")
+    lin = read_lineage(spark, f"{out_dir}/_lineage")
     return (
         lin.groupBy("run_id")
         .agg(

@@ -30,9 +30,24 @@ TBLPROPERTIES (
 )
 """
 
-EXTRACTED_SPANS_DDL = DOCUMENTS_INTERLEAVED_DDL.replace(
-    "documents_interleaved", "extracted_spans"
+# the resume protocol's output: identity-partitioned on the
+# content-derived bucket column (pmod(xxhash64(doc_id), n_buckets)) so
+# overwritePartitions() replaces exactly the bucket groups a run
+# re-processes — the Iceberg twin of the local dynamic-partition
+# parquet overwrite in operators/lineage.py
+EXTRACTED_SPANS_DDL = f"""
+CREATE TABLE IF NOT EXISTS {CATALOG}.db.extracted_spans (
+  doc_id STRING,
+  spans  ARRAY<STRUCT<kind:STRING, text:STRING, media_ref:STRING, offset:INT>>,
+  bucket INT
 )
+USING iceberg
+PARTITIONED BY (bucket)
+TBLPROPERTIES (
+  'write.target-file-size-bytes' = '268435456',
+  'format-version' = '2'
+)
+"""
 
 MEDIA_BLOBS_DDL = f"""
 CREATE TABLE IF NOT EXISTS {CATALOG}.db.media_blobs (
@@ -84,6 +99,12 @@ def create_tables(spark: SparkSession) -> None:
         spark.sql(ddl)
 
 
+LINEAGE_SCHEMA = (
+    "run_id string, bucket int, doc_count bigint, span_count bigint, "
+    "media_ref_count bigint, wall_ms bigint"
+)
+
+
 def write_extracted(spark: SparkSession, extracted: DataFrame,
                     parquet_fallback: str) -> None:
     """Iceberg append when the catalog is up; parquet otherwise."""
@@ -91,6 +112,21 @@ def write_extracted(spark: SparkSession, extracted: DataFrame,
         extracted.writeTo(f"{CATALOG}.db.extracted_spans").append()
     else:
         extracted.write.mode("overwrite").parquet(parquet_fallback)
+
+
+def overwrite_extracted_buckets(spark: SparkSession, out: DataFrame,
+                                parquet_fallback: str) -> None:
+    """Idempotent per-bucket data write for the resume protocol.
+
+    Iceberg: ``overwritePartitions()`` atomically replaces exactly the
+    bucket partitions present in ``out`` (a re-run of a crashed group
+    rewrites byte-identical data). Local: dynamic partition overwrite
+    into the parquet warehouse — same semantics, same call-site.
+    """
+    if iceberg_available(spark):
+        out.writeTo(f"{CATALOG}.db.extracted_spans").overwritePartitions()
+    else:
+        out.write.mode("overwrite").partitionBy("bucket").parquet(parquet_fallback)
 
 
 def commit_lineage(spark: SparkSession, stats: DataFrame,
@@ -102,3 +138,35 @@ def commit_lineage(spark: SparkSession, stats: DataFrame,
         spark.sql(LINEAGE_MERGE)
     else:
         stats.write.mode("append").parquet(parquet_fallback)
+
+
+def read_lineage(spark: SparkSession, parquet_fallback: str) -> DataFrame:
+    """The lineage table (Iceberg) or its local parquet twin; an empty
+    DF with the right schema when neither exists yet."""
+    if iceberg_available(spark):
+        return spark.table(f"{CATALOG}.db.extraction_lineage")
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(parquet_fallback)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def clear_run_outputs(spark: SparkSession, data_path: str,
+                      lineage_path: str) -> None:
+    """Fresh-run reset (see operators/lineage.py for why BOTH go).
+
+    Iceberg: transactional TRUNCATE/DELETE. Local: recursive delete via
+    the Hadoop FileSystem API (works for file://, hdfs://, s3a:// alike
+    — os.path/shutil would silently no-op off-local).
+    """
+    if iceberg_available(spark):
+        spark.sql(f"TRUNCATE TABLE {CATALOG}.db.extracted_spans")
+        spark.sql(f"DELETE FROM {CATALOG}.db.extraction_lineage WHERE true")
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for path in (data_path, lineage_path):
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
