@@ -1,11 +1,13 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 All hot paths are JVM-side column expressions (no Python UDFs): shingle
-construction via higher-order functions, hashing via xxhash64, MinHash
-via explode + 64 min-aggregates (one shuffle), LSH banding via explode +
-hash-groupBy. At 100 TB the only shuffles are the per-doc signature
-aggregate and the band-bucket join — both key-balanced by construction
-(band hash is uniform), so no salting is needed here.
+hashing via per-word xxhash64 + bit-op window folds, MinHash signatures
+and LSH banding as ONE narrow per-row map (zero shuffle — see
+minhash_signatures), SimHash via codegen'd conditional sums. At 100 TB
+the only shuffle in the MinHash path is the band-bucket self-join,
+key-balanced by construction (band hash is uniform), so no salting is
+needed here; measured 2→8-core scaling evidence lives in
+BENCH/BASELINE.md suite 2.
 """
 
 from __future__ import annotations

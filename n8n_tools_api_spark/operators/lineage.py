@@ -37,6 +37,7 @@ from ..sources.iceberg_ddl import (
     clear_run_outputs,
     commit_lineage,
     overwrite_extracted_buckets,
+    read_extracted_data,
     read_lineage,
 )
 from .extract import extract_spans
@@ -91,7 +92,7 @@ def resumable_extract(
     # (done non-empty) must NOT clear. Deletion goes through the Hadoop
     # FileSystem API so s3a/hdfs paths behave like local ones.
     if not done:
-        clear_run_outputs(spark, data_path, lineage_path)
+        clear_run_outputs(spark, data_path, lineage_path, run_id)
     todo = [b for b in range(n_buckets) if b not in done]
     groups = [todo[i:i + group_size] for i in range(0, len(todo), group_size)]
 
@@ -148,7 +149,7 @@ def resumable_extract(
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/data").drop("bucket")
+    return read_extracted_data(spark, f"{out_dir}/data").drop("bucket")
 
 
 def lineage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -364,9 +364,14 @@ def merge_ranges_plan(requests: DataFrame) -> DataFrame:
 # pdf_models.py:14-19 (ranges min_items=1 / max_items=50),
 # pdf_models.py:182-187 (batch_size gt=0 le=1000),
 # pdf.py:525-535 (merge: ≥2 files, ≤20 files), pdf.py:142-144.
+# NULL checks come first in every family: under ANSI, size(NULL) is
+# NULL and `NULL < 1` is NULL, which would skip both branches and let a
+# NULL array pass validation only to vanish in the downstream explode
+# (review finding — same trap batch_info_plan documents)
 _CAP_FAMILIES = {
     "split_ranges": lambda: (
-        F.when(F.size("ranges") < 1, F.lit("No page ranges specified"))
+        F.when(F.col("ranges").isNull() | (F.size("ranges") < 1),
+               F.lit("No page ranges specified"))
         .when(F.size("ranges") > 50, F.lit("Maximum 50 ranges allowed"))
     ),
     "batch": lambda: (
@@ -376,7 +381,7 @@ _CAP_FAMILIES = {
               F.lit("Batch size must not exceed 1000"))
     ),
     "merge": lambda: (
-        F.when(F.size("files") < 2,
+        F.when(F.col("files").isNull() | (F.size("files") < 2),
                F.lit("At least 2 PDF files are required for merging"))
         .when(F.size("files") > 20,
               F.lit("Maximum 20 files allowed for merging"))

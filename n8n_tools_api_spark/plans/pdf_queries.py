@@ -66,6 +66,17 @@ def _merge_ranges_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _doc_reqs(spark: SparkSession, sf_dir: str, *cols) -> DataFrame:
+    """Deterministic request rows derived from the documents table
+    (doc_id < 40) — single-sourced so the three table-derived oracle
+    queries can't drift from their SQL twins independently."""
+    from .catalog import _t
+
+    return _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("req_id"), *cols
+    )
+
+
 # SQL fragments -------------------------------------------------------------
 
 _SPLIT_VALUES = """
@@ -167,11 +178,8 @@ def pdf_page_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise the "PDF has no pages" channel)."""
     from n8n_tools_api_spark.operators.pdf_plans import split_pages_plan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    reqs = docs.where(F.col("doc_id") < 40).select(
-        F.col("doc_id").alias("req_id"),
-        (F.col("doc_id") % 7).cast("int").alias("total_pages"),
-    )
+    reqs = _doc_reqs(spark, sf_dir,
+                     (F.col("doc_id") % 7).cast("int").alias("total_pages"))
     return split_pages_plan(reqs).orderBy("req_id", "page_num")
 
 
@@ -200,9 +208,8 @@ def pdf_batch_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the documents table."""
     from n8n_tools_api_spark.operators.pdf_plans import split_batches_plan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    reqs = docs.where(F.col("doc_id") < 40).select(
-        F.col("doc_id").alias("req_id"),
+    reqs = _doc_reqs(
+        spark, sf_dir,
         (1 + F.col("doc_id") % 12).cast("int").alias("total_pages"),
         (1 + F.col("doc_id") % 4).cast("int").alias("batch_size"),
         F.concat(F.lit("doc_"), F.col("doc_id").cast("string"),
@@ -249,9 +256,8 @@ def pdf_batch_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(x, 2) twin can't hit a half-even/half-up midpoint."""
     from n8n_tools_api_spark.operators.pdf_plans import batch_info_plan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    reqs = docs.where(F.col("doc_id") < 40).select(
-        F.col("doc_id").alias("req_id"),
+    reqs = _doc_reqs(
+        spark, sf_dir,
         (1 + F.col("doc_id") % 12).cast("int").alias("total_pages"),
         (1 + F.col("doc_id") % 4).cast("int").alias("batch_size"),
         ((1 + F.col("doc_id")) * 3145728).cast("bigint").alias("file_size_bytes"),
@@ -419,7 +425,7 @@ def pdf_request_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranges_reqs = spark.createDataFrame(
         [("r_empty", []), ("r_1", ["1"]), ("r_50", [str(i) for i in range(1, 51)]),
-         ("r_51", [str(i) for i in range(1, 52)])],
+         ("r_51", [str(i) for i in range(1, 52)]), ("r_null", None)],
         "req_id string, ranges array<string>",
     )
     batch_reqs = spark.createDataFrame(
@@ -428,7 +434,7 @@ def pdf_request_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "req_id string, batch_size int",
     )
     merge_reqs = spark.createDataFrame(
-        [("m_1", 1), ("m_2", 2), ("m_20", 20), ("m_21", 21)],
+        [("m_1", 1), ("m_2", 2), ("m_20", 20), ("m_21", 21), ("m_null", None)],
         "req_id string, n int",
     ).select("req_id", F.transform(F.sequence(F.lit(1), F.col("n")),
                                    lambda i: i).alias("files"))
@@ -447,17 +453,20 @@ def pdf_request_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PDF_REQUEST_CAPS_SQL = """
 WITH ranges_reqs(req_id, n_ranges) AS (
-  VALUES ('r_empty', 0), ('r_1', 1), ('r_50', 50), ('r_51', 51)
+  VALUES ('r_empty', 0), ('r_1', 1), ('r_50', 50), ('r_51', 51),
+         ('r_null', NULL)
 ),
 batch_reqs(req_id, batch_size) AS (
   VALUES ('b_0', 0), ('b_1', 1), ('b_1000', 1000), ('b_1001', 1001),
          ('b_null', NULL)
 ),
 merge_reqs(req_id, n_files) AS (
-  VALUES ('m_1', 1), ('m_2', 2), ('m_20', 20), ('m_21', 21)
+  VALUES ('m_1', 1), ('m_2', 2), ('m_20', 20), ('m_21', 21),
+         ('m_null', NULL)
 )
 SELECT req_id, 'split_ranges' AS family,
-       CASE WHEN n_ranges < 1 THEN 'No page ranges specified'
+       CASE WHEN n_ranges IS NULL OR n_ranges < 1
+              THEN 'No page ranges specified'
             WHEN n_ranges > 50 THEN 'Maximum 50 ranges allowed'
        END AS cap_error
 FROM ranges_reqs
@@ -470,7 +479,7 @@ SELECT req_id, 'batch',
 FROM batch_reqs
 UNION ALL
 SELECT req_id, 'merge',
-       CASE WHEN n_files < 2
+       CASE WHEN n_files IS NULL OR n_files < 2
               THEN 'At least 2 PDF files are required for merging'
             WHEN n_files > 20 THEN 'Maximum 20 files allowed for merging'
        END

@@ -30,9 +30,11 @@ MAX_PDF_BYTES = 50 * 1024 * 1024  # app/core/config.py:24
 
 _RE_OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj")
 _RE_STREAM_START = re.compile(rb"stream(\r\n|\n|\r)")
-# direct /Length only; an indirect "/Length 5 0 R" falls back to the
-# endstream scan
-_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# direct /Length only; an indirect "/Length 12 0 R" falls back to the
+# endstream scan. (?!\d) stops backtracking from shrinking the digit
+# group until the indirect-ref lookahead passes ('12 0 R' would
+# otherwise match as direct length 1 — review finding)
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _RE_PAGES_KIDS = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _RE_REF = re.compile(rb"(\d+)\s+0\s+R")
 _RE_CONTENTS = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")

@@ -83,13 +83,38 @@ WHEN NOT MATCHED THEN INSERT *
 """
 
 
+_AVAILABLE_CACHE: dict[str, bool] = {}
+
+
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg catalog is attached (cluster deployment)."""
-    try:
-        spark.sql(f"SHOW NAMESPACES IN {CATALOG}")
-        return True
-    except Exception:
-        return False
+    """True when the Iceberg catalog is attached (cluster deployment).
+
+    Cached per application — the probe is an exception-swallowing
+    driver SQL call and the resume protocol invokes a helper per bucket
+    group (review finding); a catalog cannot appear or vanish within a
+    session.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _AVAILABLE_CACHE:
+        try:
+            spark.sql(f"SHOW NAMESPACES IN {CATALOG}")
+            _AVAILABLE_CACHE[app_id] = True
+        except Exception:
+            _AVAILABLE_CACHE[app_id] = False
+    return _AVAILABLE_CACHE[app_id]
+
+
+def _run_data_table(data_path: str) -> str:
+    """Iceberg twin of the local protocol's per-run out_dir: one data
+    table per destination path, so a fresh run's reset can never touch
+    another run's committed buckets (review finding — a shared table
+    with TRUNCATE had a global blast radius its local twin lacked)."""
+    import hashlib
+    import re as _re
+
+    stem = _re.sub(r"[^A-Za-z0-9_]", "_", data_path.rstrip("/").rsplit("/", 1)[-1])
+    digest = hashlib.sha256(data_path.encode()).hexdigest()[:8]
+    return f"{CATALOG}.db.extracted_spans_{stem}_{digest}"
 
 
 def create_tables(spark: SparkSession) -> None:
@@ -115,18 +140,32 @@ def write_extracted(spark: SparkSession, extracted: DataFrame,
 
 
 def overwrite_extracted_buckets(spark: SparkSession, out: DataFrame,
-                                parquet_fallback: str) -> None:
+                                data_path: str) -> None:
     """Idempotent per-bucket data write for the resume protocol.
 
-    Iceberg: ``overwritePartitions()`` atomically replaces exactly the
-    bucket partitions present in ``out`` (a re-run of a crashed group
-    rewrites byte-identical data). Local: dynamic partition overwrite
-    into the parquet warehouse — same semantics, same call-site.
+    Iceberg: ``overwritePartitions()`` on this run's data table
+    (created on demand from the EXTRACTED_SPANS_DDL shape) atomically
+    replaces exactly the bucket partitions present in ``out`` (a re-run
+    of a crashed group rewrites byte-identical data). Local: dynamic
+    partition overwrite into the parquet warehouse — same semantics,
+    same call-site.
     """
     if iceberg_available(spark):
-        out.writeTo(f"{CATALOG}.db.extracted_spans").overwritePartitions()
+        table = _run_data_table(data_path)
+        spark.sql(EXTRACTED_SPANS_DDL.replace(
+            f"{CATALOG}.db.extracted_spans", table))
+        out.writeTo(table).overwritePartitions()
     else:
-        out.write.mode("overwrite").partitionBy("bucket").parquet(parquet_fallback)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
+
+
+def read_extracted_data(spark: SparkSession, data_path: str) -> DataFrame:
+    """This run's extracted output — the read twin of
+    overwrite_extracted_buckets (review finding: the write moved to the
+    Iceberg table but the read stayed on the parquet path)."""
+    if iceberg_available(spark):
+        return spark.table(_run_data_table(data_path))
+    return spark.read.parquet(data_path)
 
 
 def commit_lineage(spark: SparkSession, stats: DataFrame,
@@ -152,16 +191,22 @@ def read_lineage(spark: SparkSession, parquet_fallback: str) -> DataFrame:
 
 
 def clear_run_outputs(spark: SparkSession, data_path: str,
-                      lineage_path: str) -> None:
-    """Fresh-run reset (see operators/lineage.py for why BOTH go).
+                      lineage_path: str, run_id: str) -> None:
+    """Fresh-run reset (see operators/lineage.py for why BOTH go) —
+    scoped to THIS run's outputs on both deployments.
 
-    Iceberg: transactional TRUNCATE/DELETE. Local: recursive delete via
-    the Hadoop FileSystem API (works for file://, hdfs://, s3a:// alike
-    — os.path/shutil would silently no-op off-local).
+    Iceberg: DROP this run's data table, DELETE only this run_id's
+    lineage rows (a TRUNCATE of shared tables would wipe other runs'
+    committed buckets — review finding). Local: recursive delete of the
+    run's out_dir paths via the Hadoop FileSystem API (works for
+    file://, hdfs://, s3a:// alike — os.path/shutil would silently
+    no-op off-local).
     """
     if iceberg_available(spark):
-        spark.sql(f"TRUNCATE TABLE {CATALOG}.db.extracted_spans")
-        spark.sql(f"DELETE FROM {CATALOG}.db.extraction_lineage WHERE true")
+        spark.sql(f"DROP TABLE IF EXISTS {_run_data_table(data_path)}")
+        escaped = run_id.replace("'", "''")
+        spark.sql(f"DELETE FROM {CATALOG}.db.extraction_lineage "
+                  f"WHERE run_id = '{escaped}'")
         return
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

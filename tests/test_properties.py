@@ -157,6 +157,43 @@ class TestPdfParseProperties:
         assert isinstance(pages, list)
 
 
+class TestPdfStreamEdgeCases:
+    def test_indirect_length_falls_back_to_endstream_scan(self):
+        # "/Length 12 0 R" must NOT match as direct length 1 via regex
+        # backtracking (review finding) — the parser falls back to the
+        # endstream scan and still decodes the stream
+        import zlib
+
+        from n8n_tools_api_spark.refsem.pdfparse import _stream_bytes
+
+        payload = b"BT /F1 12 Tf (hello) Tj ET"
+        comp = zlib.compress(payload)
+        body = (b"<< /Length 12 0 R /Filter /FlateDecode >>\nstream\n"
+                + comp + b"\nendstream")
+        assert _stream_bytes(body) == payload
+
+    def test_direct_multidigit_length_slices_exactly(self):
+        import zlib
+
+        from n8n_tools_api_spark.refsem.pdfparse import _stream_bytes
+
+        payload = b"BT (x) Tj ET" * 20
+        comp = zlib.compress(payload)
+        body = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp + b"\nendstream")
+        assert _stream_bytes(body) == payload
+
+    def test_compressed_data_ending_in_cr_survives(self):
+        # without /Length, the EOL-before-endstream strip must not eat a
+        # data byte; with /Length the slice is exact either way
+        from n8n_tools_api_spark.refsem.pdfparse import _stream_bytes
+
+        data = b"abc\r"
+        body = (b"<< /Length %d >>\nstream\n" % len(data)
+                + data + b"\nendstream")
+        assert _stream_bytes(body) == data
+
+
 class TestBoilerplateProperties:
     @given(st.text(max_size=300))
     @settings(max_examples=150, deadline=None)
