@@ -1156,6 +1156,73 @@ ORDER BY s_suppkey
 """
 
 
+def ngram_jaccard_dups(spark, sf_dir):
+    """LLM-PIPELINE ORACLE: exact n-gram Jaccard over documents ∪
+    deterministic truncated mutations, cross-checked against a DuckDB
+    replay of the whole flow (list-comprehension shingles, df-cap via
+    in-query count, distinct-shingle self-join). The sf corpus plus
+    25 planted 90%-truncations — every mut_ pair MUST surface."""
+    from n8n_tools_api_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mutated = (
+        docs.where(F.col("doc_id").cast("bigint") < 25)
+        .select(F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
+                F.expr("substring(text, 1, cast(length(text) * 0.9 as int))")
+                .alias("text"))
+    )
+    corpus = docs.unionByName(mutated)
+    return ngram_jaccard_pairs(corpus, k=5, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+# DuckDB twin: regexp_split + list-comprehension 5-gram shingles,
+# >1%-of-docs (min 100) document-frequency cap, distinct-shingle
+# self-join; floor() mirrors Spark's truncating int cast on the
+# mutation length (CLAUDE.md determinism rules).
+NGRAM_JACCARD_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'mut_' || CAST(doc_id AS VARCHAR),
+         substring(text, 1, CAST(floor(length(text) * 0.9) AS INT))
+  FROM documents WHERE doc_id < 25
+),
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus
+),
+sh_all AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+    THEN [array_to_string(w[i:i+4], ' ') for i in generate_series(1, len(w) - 4)]
+    ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM words
+),
+sh_distinct AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+n_docs AS (SELECT COUNT(*) AS n FROM corpus),
+over_cap AS (
+  SELECT shingle FROM sh_distinct, n_docs
+  GROUP BY shingle, n
+  HAVING COUNT(*) > greatest(floor(n * 0.01), 100)
+),
+sh AS (
+  SELECT * FROM sh_distinct WHERE shingle NOT IN (SELECT shingle FROM over_cap)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def ocr_enhanced_images(spark, sf_dir):
     """Official-format normalization + F8/F10 image enrichment over a
     deterministic ocr_responses fixture (FIXTURES.md §5 shape) — the
@@ -1353,4 +1420,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_customer_order_distribution": (q13_customer_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
 }

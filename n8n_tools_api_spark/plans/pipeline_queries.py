@@ -86,19 +86,6 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(corpus, max_distance=3).orderBy("doc_a", "doc_b")
 
 
-def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over the mutated corpus (verifies LSH recall)."""
-    from n8n_tools_api_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    mutated = (
-        docs.where(F.col("doc_id").cast("bigint") < 25)
-        .select(F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
-                F.expr("substring(text, 1, cast(length(text) * 0.9 as int))").alias("text"))
-    )
-    corpus = docs.unionByName(mutated)
-    return ngram_jaccard_pairs(corpus, k=5, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +199,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_media_refs": extract_media_refs,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
-    "ngram_jaccard_dups": ngram_jaccard_dups,
     "near_dup_clusters": near_dup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
     "language_id": language_id,
