@@ -25,6 +25,8 @@ CLEAN_SCHEMA = "doc_id bigint, clean_text string, clean_chars int"
 
 
 def _lang_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
     from n8n_tools_api_spark.refsem import detect_primary_language
 
     for pdf in batches:
@@ -32,7 +34,10 @@ def _lang_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for text in pdf["text"]:
             res = detect_primary_language(text or "")
             det.append(res["detected"])
-            conf.append(round(float(res["confidence"]), 6))
+            # floor-truncate to 6 decimals, NOT Python round: floor is
+            # reproducible in DuckDB (the doc_language_scores oracle),
+            # banker's rounding is not
+            conf.append(math.floor(float(res["confidence"]) * 1e6) / 1e6)
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"], "lang": pdf["lang"],
             "detected": det, "confidence": conf,

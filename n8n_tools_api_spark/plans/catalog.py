@@ -1156,6 +1156,70 @@ ORDER BY s_suppkey
 """
 
 
+def doc_language_scores(spark, sf_dir):
+    """PANDAS-UDF ORACLE (A6): the reference language detector — run as
+    the real Arrow-batched refsem UDF — against a DuckDB replay of its
+    char-coverage scoring. A pattern's findall-length sum over a
+    char-class+ regex equals the characters it removes, so each score
+    is length(text) - length(regexp_replace(text, pat, '', 'g')) over
+    length(text); ties resolve to the FIRST maximal pattern in
+    reference order (ocr_response_formatter.py:667-713)."""
+    from n8n_tools_api_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return (
+        detect_language(docs)
+        .select("doc_id", "detected", "confidence")
+        .orderBy("doc_id")
+    )
+
+
+_LANG_PATTERNS_SQL = [
+    ("english", r"[a-zA-Z\s]+"),
+    ("spanish", r"[a-zA-ZñÑáéíóúüÁÉÍÓÚÜ\s]+"),
+    ("french", r"[a-zA-ZàâäéèêëïîôöùûüÿñçÀÂÄÉÈÊËÏÎÔÖÙÛÜŸÑÇ\s]+"),
+    ("german", r"[a-zA-ZäöüßÄÖÜ\s]+"),
+    ("chinese", r"[一-鿿]+"),
+    ("arabic", r"[؀-ۿ]+"),
+    ("russian", r"[а-яёА-ЯЁ\s]+"),
+]
+
+_LANG_SCORE_COLS = ",\n".join(
+    f"         (length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+    f" / CAST(length(text) AS DOUBLE) AS s_{lang}"
+    for lang, pat in _LANG_PATTERNS_SQL
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{l}" for l, _ in _LANG_PATTERNS_SQL) + ")"
+_LANG_PICK = "\n".join(
+    f"            WHEN s_{lang} = best THEN '{lang}'"
+    for lang, _ in _LANG_PATTERNS_SQL
+)
+
+DOC_LANGUAGE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+{_LANG_SCORE_COLS},
+         trim(text) = '' OR text IS NULL AS is_blank
+  FROM documents WHERE doc_id < 300
+),
+best AS (
+  SELECT doc_id, is_blank, {_LANG_BEST} AS best,
+         s_english, s_spanish, s_french, s_german,
+         s_chinese, s_arabic, s_russian
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN is_blank OR best <= 0.5 THEN 'unknown'
+{_LANG_PICK}
+       END AS detected,
+       CASE WHEN is_blank THEN 0.0
+            ELSE floor(least(best, 1.0) * 1000000) / 1000000
+       END AS confidence
+FROM best
+ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_dups(spark, sf_dir):
     """LLM-PIPELINE ORACLE: exact n-gram Jaccard over documents ∪
     deterministic truncated mutations, cross-checked against a DuckDB
@@ -1421,4 +1485,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "q13_customer_order_distribution": (q13_customer_order_distribution, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
+    "doc_language_scores": (doc_language_scores, DOC_LANGUAGE_SQL),
 }
