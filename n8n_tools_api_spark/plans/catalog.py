@@ -1287,6 +1287,66 @@ ORDER BY doc_a, doc_b
 """
 
 
+def stream_dedup_first_seen(spark, sf_dir):
+    """STREAMING BATCH-TWIN ORACLE: the ingest-time exact-dedup stage
+    (streaming/dedup_stream.py) — first arrival per content hash wins —
+    replayed by DuckDB over documents ∪ planted later-arriving dups.
+    The streaming path itself is pinned by tests/test_dedup_stream.py
+    (same content-hash key, dropDuplicatesWithinWatermark)."""
+    from n8n_tools_api_spark.streaming import dedup_batch_twin
+
+    base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (base_ts + F.make_interval(mins=F.col("doc_id").cast("int")))
+        .alias("event_time"),
+        "text",
+    )
+    dups = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        F.concat(F.lit("dup_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        (base_ts + F.make_interval(mins=(F.col("doc_id") + 500).cast("int")))
+        .alias("event_time"),
+        "text",
+    )
+    corpus = docs.unionByName(dups)
+    return (
+        dedup_batch_twin(corpus)
+        .select("doc_id",
+                F.date_format("event_time", "yyyy-MM-dd HH:mm:ss")
+                .alias("event_time"),
+                "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+STREAM_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         TIMESTAMP '2024-06-01 12:00:00'
+           + to_minutes(CAST(doc_id AS INT)) AS event_time,
+         text
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'dup_' || CAST(doc_id AS VARCHAR),
+         TIMESTAMP '2024-06-01 12:00:00'
+           + to_minutes(CAST(doc_id + 500 AS INT)),
+         text
+  FROM documents WHERE doc_id < 50
+),
+hashed AS (
+  SELECT doc_id, event_time, sha256(text) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                            ORDER BY event_time, doc_id) AS rn
+  FROM corpus
+)
+SELECT doc_id,
+       strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_time,
+       content_hash
+FROM hashed WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def ocr_enhanced_images(spark, sf_dir):
     """Official-format normalization + F8/F10 image enrichment over a
     deterministic ocr_responses fixture (FIXTURES.md §5 shape) — the
@@ -1486,4 +1546,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
     "doc_language_scores": (doc_language_scores, DOC_LANGUAGE_SQL),
+    "stream_dedup_first_seen": (stream_dedup_first_seen, STREAM_DEDUP_SQL),
 }

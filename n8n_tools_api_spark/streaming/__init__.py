@@ -1,8 +1,12 @@
+from .dedup_stream import dedup_batch_twin, dedup_stream, with_content_hash
 from .incremental import incremental_extract
 from .stateful import sessionize_batch, sessionize_stream
 from .windowed import windowed_event_counts_batch, windowed_event_counts_stream
 
 __all__ = [
+    "dedup_batch_twin",
+    "dedup_stream",
+    "with_content_hash",
     "incremental_extract",
     "sessionize_batch",
     "sessionize_stream",

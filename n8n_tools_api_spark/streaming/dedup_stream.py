@@ -1,0 +1,65 @@
+"""Streaming exact deduplication — the ingest-time twin of A10.
+
+A training-data landing zone receives documents continuously; exact
+dups (mirror crawls, retries) should be dropped BEFORE the expensive
+extraction/near-dup stages. Structured Streaming's stateful
+``dropDuplicatesWithinWatermark`` on the content hash does this with
+bounded state: the watermark ages dedup keys out after the lateness
+horizon, so state size tracks the arrival window, not corpus size —
+the only formulation that survives 10^12 cumulative documents.
+(Corpus-lifetime exact dedup remains the batch operator
+``dedup.exact_duplicate_groups``; this stage is the streaming prefilter
+in front of it.)
+
+Content hash = sha2(text) — identical to the batch A10 key
+(s3_client.py:243-270 content-address parity), so a doc admitted here
+and later batch-deduped hashes identically in both layers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_content_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the batch-parity content hash (sha256 hex of the text)."""
+    return docs.withColumn(
+        "content_hash", F.sha2(F.col(text_col).cast("binary"), 256)
+    )
+
+
+def dedup_stream(docs: DataFrame, event_time_col: str = "event_time",
+                 watermark: str = "10 minutes",
+                 text_col: str = "text") -> DataFrame:
+    """First-seen-wins exact dedup over a stream of documents.
+
+    Input: a streaming DataFrame with an event-time column. Output:
+    the stream with duplicate content (by sha256 of ``text_col``)
+    dropped; a duplicate arriving within ``watermark`` of the original
+    is suppressed, one arriving later than the horizon may pass (state
+    for its key has been reclaimed) — the documented bounded-state
+    trade-off; the batch layer catches stragglers.
+    """
+    return (
+        with_content_hash(docs, text_col)
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def dedup_batch_twin(docs: DataFrame, order_col: str = "event_time",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic batch equivalent: keep the first arrival (by
+    ``order_col``, tiebroken on ``id_col``) of each content hash —
+    used by tests to pin the streaming output."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy(order_col, id_col)
+    return (
+        with_content_hash(docs, text_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
