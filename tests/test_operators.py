@@ -412,6 +412,26 @@ class TestDedup:
         assert rows[("d0", "d0_copy")] == 0
 
 
+    def test_lsh_bucket_sizes_are_near_uniform(self, spark, sf_dir):
+        # the no-salting claim for the band-bucket join (module
+        # docstring) — measured: on real corpus text no (band, bucket)
+        # key may dominate. Identical signatures DO share buckets, so
+        # the bound is per-distinct-signature, not per-bucket-row.
+        from n8n_tools_api_spark.operators.dedup import minhash_banded
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text")
+        sizes = (
+            minhash_banded(docs)
+            .groupBy("band", "bucket").count()
+            .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+            .collect()[0]
+        )
+        # exact-dup documents legitimately collide; anything beyond a
+        # small constant multiple of the mean would mean skew the join
+        # needs salting for
+        assert sizes["mx"] <= max(8.0, 8 * sizes["avg"]), sizes
+
     def test_minhash_banded_plan_is_narrow(self, spark, corpus):
         # signatures fold per-row (zip_with against the literal perm
         # params), so shingle→signature→banding is ONE narrow map — the
