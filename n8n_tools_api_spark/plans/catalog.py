@@ -1199,7 +1199,13 @@ DOC_LANGUAGE_SQL = f"""
 WITH scored AS (
   SELECT doc_id,
 {_LANG_SCORE_COLS},
-         trim(text) = '' OR text IS NULL AS is_blank
+         -- Python str.strip() strips all ASCII whitespace, DuckDB's
+         -- bare trim() only spaces — pass the charset explicitly.
+         -- (Unicode-whitespace-only texts would still diverge: RE2 \\s
+         -- is ASCII; documented oracle limit, absent from the corpus.)
+         text IS NULL
+           OR trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                   || chr(11) || chr(12)) = '' AS is_blank
   FROM documents WHERE doc_id < 300
 ),
 best AS (
@@ -1253,7 +1259,10 @@ WITH corpus AS (
   FROM documents WHERE doc_id < 25
 ),
 words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus
+  -- COALESCE mirrors Spark's concat_ws, which maps a NULL word array
+  -- to the '' shingle instead of dropping the doc (review finding)
+  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS w
+  FROM corpus
 ),
 sh_all AS (
   SELECT doc_id, unnest(CASE WHEN len(w) >= 5

@@ -20,8 +20,11 @@ def write_bucketed(df, name: str, key: str, n_buckets: int = 16) -> None:
     """Persist a table bucketed+sorted on its join key (SURVEY.md §4).
 
     Both sides of a recurring equi-join written this way join with NO
-    exchange and NO sort at read time — the shuffle is paid once at
-    write time and amortized over every subsequent join. This is the
+    exchange — the shuffle is paid once at write time and amortized
+    over every subsequent join. The repartition guarantees ONE file
+    per bucket, which additionally eliminates the sort below the join
+    when ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (sorted-scan ordering is opt-in since Spark 3.0). This is the
     co-located-join strategy for the engine's hot keys (orderkey,
     doc_id) at 100 TB; pinned by tests/test_bucketing.py.
     """
@@ -36,7 +39,13 @@ def write_bucketed(df, name: str, key: str, n_buckets: int = 16) -> None:
     if fs.exists(p):
         fs.delete(p, True)
     (
-        df.write
+        # repartition on the key first: bucketBy alone writes one file
+        # per (input partition × bucket), and multiple files per bucket
+        # force a Sort under every downstream SortMergeJoin (review
+        # finding) — one file per bucket makes the scan's sort order
+        # satisfy the join, eliminating BOTH the exchange and the sort
+        df.repartition(n_buckets, key)
+        .write
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .format("parquet")

@@ -51,9 +51,17 @@ def dedup_stream(docs: DataFrame, event_time_col: str = "event_time",
 def dedup_batch_twin(docs: DataFrame, order_col: str = "event_time",
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """Deterministic batch equivalent: keep the first arrival (by
-    ``order_col``, tiebroken on ``id_col``) of each content hash —
-    used by tests to pin the streaming output."""
+    """Deterministic batch companion: keep the EVENT-TIME-earliest row
+    (tiebroken on ``id_col``) of each content hash.
+
+    Not bit-equal to dedup_stream under out-of-order arrival: the
+    streaming stage keeps the first row in ARRIVAL order (whatever the
+    micro-batches deliver), this twin keeps the earliest ``order_col``
+    — they agree exactly when arrival order matches event time, which
+    is what the tests feed and what a landing-zone ingest normally
+    sees. The set of distinct surviving content hashes is identical
+    either way.
+    """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("content_hash").orderBy(order_col, id_col)

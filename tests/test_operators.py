@@ -415,12 +415,14 @@ class TestDedup:
     def test_lsh_bucket_sizes_are_near_uniform(self, spark, sf_dir):
         # the no-salting claim for the band-bucket join (module
         # docstring) — measured: on real corpus text no (band, bucket)
-        # key may dominate. Identical signatures DO share buckets, so
-        # the bound is per-distinct-signature, not per-bucket-row.
+        # key may dominate. Exact-dup texts share a signature and hence
+        # a bucket by design, so they're collapsed first — the bound is
+        # per distinct text, matching the claim's scope.
         from n8n_tools_api_spark.operators.dedup import minhash_banded
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            F.col("doc_id").cast("string").alias("doc_id"), "text")
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ).dropDuplicates(["text"])
         sizes = (
             minhash_banded(docs)
             .groupBy("band", "bucket").count()
