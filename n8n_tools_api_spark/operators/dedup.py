@@ -12,6 +12,8 @@ BENCH/BASELINE.md suite 2.
 
 from __future__ import annotations
 
+from itertools import combinations as _combinations
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -123,8 +125,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     test_minhash_banded_plan_is_narrow).
 
     Duplicate shingles don't affect a min, so no distinct pass is
-    needed; signatures are bit-identical to the groupBy formulation
-    (NULL text folds to a [NULL] shingle array on both paths).
+    needed. Signatures are deterministic (seeded permutation params)
+    but NOT compatible with the pre-change string-hash formulation:
+    the old path hashed shingle STRINGS (xxhash64 of concat_ws), the
+    current one hashes a rot-XOR fold of per-word hashes, so any
+    persisted pre-change signatures must be regenerated. NULL-text
+    edge: ``word_shingles`` folds NULL text to the '' shingle while
+    ``shingle_hash_array`` yields a ``[NULL]`` hash array (the fold
+    over a NULL word array is NULL) — the two paths diverge on NULL
+    text by design; only same-path comparisons are ever made.
     """
     P = F.lit(_MERSENNE_P)
     base = shingle_hash_array(df, text_col, k, id_col).select(
@@ -241,7 +250,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
     sh = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
 
     if candidate_pairs is not None:
-        cand = candidate_pairs.select("doc_a", "doc_b")
+        # canonicalize orientation: pair_stream enforces doc_a < doc_b,
+        # so a caller-supplied (b, a) pair must still match — least/
+        # greatest re-orient it instead of silently never scoring it
+        cand = candidate_pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         cand_docs = (
             cand.select(F.col("doc_a").alias("doc_id"))
             .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -313,14 +328,94 @@ def simhash_64(df: DataFrame, text_col: str = "text",
     return agg.select("doc_id", acc.alias("simhash"))
 
 
+def _simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``n_blocks`` near-equal (offset, size) blocks."""
+    base, rem = divmod(64, n_blocks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    out, off = [], 0
+    for s in sizes:
+        out.append((off, s))
+        off += s
+    return out
+
+
+def _hamming_filter(pairs: DataFrame, max_distance: int) -> DataFrame:
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           max_distance: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
 
-    Blocked on 4 x 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least
-    one identical chunk), so the join is an equi-join on (chunk_idx,
-    chunk_value) — never a cross join.
+    Blocking is the Manku/Jain/Das Sarma construction (WWW'07, the
+    SimHash-at-Google paper): split the 64-bit fingerprint into
+    ``d+3`` near-equal blocks and key each document on every
+    C(d+3, 3) combination of 3 blocks. Pigeonhole: at most ``d`` bits
+    differ ⇒ at most ``d`` blocks are dirty ⇒ at least 3 blocks are
+    clean ⇒ the pair collides on that 3-block combination — so recall
+    is exact, and the join stays a pure equi-join on
+    (combo_idx, key_val), never a cross join.
+
+    Scale math (why not 4×16-bit chunks, the round-2 form): a 16-bit
+    chunk has 65,536 distinct values, so at N docs the expected bucket
+    holds N/2¹⁶ rows and intra-bucket pairing is Σ bucket² — quadratic
+    in N (a scale-killer at ≥10⁹ docs). A 3-block key at d=3 carries
+    ~32 bits (11+11+10) → 4×10⁹ distinct values, bucket occupancy
+    N/4×10⁹ — linear pair volume up to trillions of documents. The
+    price is C(6,3)=20 exploded rows per doc instead of 4; each row is
+    (bigint, int, bigint), so the shuffle grows 5× in row count but
+    stays tiny per row — the right trade at 100 TB. Candidates are
+    exact-verified with bit_count XOR, so output = true pairs exactly;
+    equivalence with the chunked form is pinned by test.
     """
+    n_blocks = max_distance + 3
+    combos = list(_combinations(range(n_blocks), 3))
+    blocks = _simhash_blocks(n_blocks)
+    sig = simhash_64(df, text_col, id_col)
+
+    def block_val(i: int):
+        off, size = blocks[i]
+        return (F.shiftrightunsigned("simhash", off)
+                .bitwiseAND(F.lit((1 << size) - 1)))
+
+    keys = []
+    for ci, combo in enumerate(combos):
+        key = F.lit(0).cast("bigint")
+        for i in combo:
+            key = F.shiftleft(key, blocks[i][1]).bitwiseOR(block_val(i))
+        keys.append(F.struct(F.lit(ci).alias("combo_idx"),
+                             key.alias("key_val")))
+    keyed = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*keys)).alias("c"),
+    ).select("doc_id", "simhash", "c.combo_idx", "c.key_val")
+    pairs = (
+        keyed.alias("a").join(keyed.alias("b"), ["combo_idx", "key_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _hamming_filter(pairs, max_distance)
+
+
+def _simhash_hamming_pairs_chunked(df: DataFrame, text_col: str = "text",
+                                   max_distance: int = 3,
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Round-2 4×16-bit chunk blocking, kept ONLY as the equivalence
+    twin for the Manku-key form above (both blockings are recall-exact
+    for d≤3, so outputs must be identical). Not for production: bucket
+    occupancy N/65,536 goes quadratic at ≥10⁹ docs."""
+    assert max_distance <= 3, "4-chunk pigeonhole only guarantees d<=3"
     sig = simhash_64(df, text_col, id_col)
     chunks = sig.select(
         "doc_id", "simhash",
@@ -344,12 +439,7 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_distance)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return _hamming_filter(pairs, max_distance)
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:

@@ -55,6 +55,13 @@ def coalesce_image_aliases(responses: DataFrame) -> DataFrame:
     for f in responses.schema["pages"].dataType.elementType.fields:
         if f.name == "images":
             img_type = f.dataType.elementType
+    if img_type is None:
+        raise ValueError(
+            "coalesce_image_aliases: pages.images field missing from "
+            "schema — expected pages: array<struct<..., images: "
+            "array<struct<...>>, ...>>, got "
+            f"{responses.schema['pages'].dataType.simpleString()}"
+        )
     present = {f.name for f in img_type.fields}
 
     def coord(im, canonical):

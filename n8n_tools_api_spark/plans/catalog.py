@@ -1344,8 +1344,9 @@ WITH corpus AS (
 ),
 hashed AS (
   SELECT doc_id, event_time, sha256(text) AS content_hash,
-         ROW_NUMBER() OVER (PARTITION BY sha256(text)
-                            ORDER BY event_time, doc_id) AS rn
+         ROW_NUMBER() OVER (
+           PARTITION BY COALESCE(sha256(text), '__nulltext__:' || doc_id)
+           ORDER BY event_time, doc_id) AS rn
   FROM corpus
 )
 SELECT doc_id,

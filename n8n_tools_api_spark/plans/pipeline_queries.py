@@ -155,6 +155,14 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding dimensionality of the sf fixture tables (TESTDATA.md:
+# embeddings.embedding is array<float>[64] at every scale factor).
+# Fixed at fixture-definition time so building the query never runs a
+# driver job (round-2 verdict #5: the old `.first()` sniff was a
+# per-query extra Spark job); the plan itself guards the assumption.
+EMBEDDING_DIM = 64
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups via hyperplane LSH + exact verify.
 
@@ -163,8 +171,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from n8n_tools_api_spark.operators.dedup import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = EMBEDDING_DIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        # in-plan guard: a fixture with a different dim fails loudly at
+        # execution instead of silently mis-slicing the hyperplanes
+        "embedding",
+        F.when(F.size("embedding") == dim, F.col("embedding")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"embeddings dim != {dim}: got "),
+                F.size("embedding").cast("string")))
+        ),
+    )
     jittered = (
         emb.where(F.col("vec_id") < 25)
         .select((F.col("vec_id") + 1_000_000).alias("vec_id"),

@@ -83,6 +83,17 @@ def render_document_text(pages: list[dict]) -> str:
     Parity: ocr_response_formatter.py:105-146 (_extract_enhanced_text):
     * ``page_number`` defaults to ``index + 1`` (1-based),
     * blank pages are skipped entirely,
+    * PINNED DIVERGENCE (SURVEY §7.3-style choice): when a page has
+      NEITHER ``page_number`` nor ``index``, the reference is internally
+      inconsistent — the formatter variant falls back to ``0 + 1 = 1``
+      for every such page (ocr_response_formatter.py:122,
+      ``page.get('index', 0)``), the service variant to the positional
+      ``i + 1`` (mistral_service.py:510). We pin the SERVICE variant
+      (``page.get("index", i) + 1``): positional numbering is the only
+      one that keeps banners strictly increasing, and the pipeline
+      normalizer assigns ``index`` before this runs, so fixtures can
+      only hit the divergence via hand-built pages (pinned by
+      test_page_number_fallback_is_service_variant),
     * multi-page docs get a ``📄 PAGE n of N`` banner per page and an
       ``End of Page`` rule after every page but the last,
     * segments are joined with a single newline and stripped,

@@ -89,17 +89,38 @@ _AVAILABLE_CACHE: dict[str, bool] = {}
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the Iceberg catalog is attached (cluster deployment).
 
-    Cached per application — the probe is an exception-swallowing
-    driver SQL call and the resume protocol invokes a helper per bucket
-    group (review finding); a catalog cannot appear or vanish within a
-    session.
+    Cached per application — the probe is a driver SQL call and the
+    resume protocol invokes a helper per bucket group (review finding);
+    a catalog cannot appear or vanish within a session.
+
+    Only "catalog not configured" (a parse/analysis error naming the
+    catalog) is negative-cached silently. Any OTHER failure — e.g. a
+    transient metastore error on a configured catalog — is logged once
+    before caching, so a resumed run that silently fell back to the
+    parquet protocol (ignoring lineage previously committed to Iceberg,
+    reprocessing everything) leaves a visible trace (review finding).
     """
     app_id = spark.sparkContext.applicationId
     if app_id not in _AVAILABLE_CACHE:
         try:
             spark.sql(f"SHOW NAMESPACES IN {CATALOG}")
             _AVAILABLE_CACHE[app_id] = True
-        except Exception:
+        except Exception as exc:
+            msg = str(exc)
+            not_configured = (
+                "CATALOG_NOT_FOUND" in msg
+                or "ParseException" in type(exc).__name__
+                or f"Catalog '{CATALOG}' not found" in msg
+            )
+            if not not_configured:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Iceberg catalog %s probe failed with an unexpected "
+                    "error; falling back to the parquet protocol for this "
+                    "application. Resume state committed to Iceberg will "
+                    "NOT be seen. Error: %s", CATALOG, msg.splitlines()[0],
+                )
             _AVAILABLE_CACHE[app_id] = False
     return _AVAILABLE_CACHE[app_id]
 

@@ -23,15 +23,37 @@ from pyspark.sql import functions as F
 
 
 def with_content_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the batch-parity content hash (sha256 hex of the text)."""
+    """Append the batch-parity content hash (sha256 hex of the text).
+
+    ``content_hash`` is NULL for NULL text — the dedup stages below must
+    NOT key on it directly (NULL keys compare equal in
+    dropDuplicatesWithinWatermark and window partitioning, which would
+    collapse every text-less/media-only document to one survivor).
+    They key on :func:`_dedup_key` instead, which exempts NULL-text rows
+    by falling back to the per-document id.
+    """
     return docs.withColumn(
         "content_hash", F.sha2(F.col(text_col).cast("binary"), 256)
     )
 
 
+def _dedup_key(id_col: str = "doc_id"):
+    """Dedup key: content hash, or a doc-unique sentinel for NULL text.
+
+    Media-only documents (NULL text) carry no content to dedup on; each
+    must survive the prefilter untouched. ``__nulltext__:<doc_id>`` is
+    unique per row and cannot collide with a 64-hex sha256 value.
+    """
+    return F.coalesce(
+        F.col("content_hash"),
+        F.concat(F.lit("__nulltext__:"), F.col(id_col).cast("string")),
+    )
+
+
 def dedup_stream(docs: DataFrame, event_time_col: str = "event_time",
                  watermark: str = "10 minutes",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
     """First-seen-wins exact dedup over a stream of documents.
 
     Input: a streaming DataFrame with an event-time column. Output:
@@ -40,11 +62,16 @@ def dedup_stream(docs: DataFrame, event_time_col: str = "event_time",
     is suppressed, one arriving later than the horizon may pass (state
     for its key has been reclaimed) — the documented bounded-state
     trade-off; the batch layer catches stragglers.
+
+    NULL-text documents are exempt: each keeps a doc-unique key (see
+    :func:`_dedup_key`), so media-only rows all pass through.
     """
     return (
         with_content_hash(docs, text_col)
+        .withColumn("_dedup_key", _dedup_key(id_col))
         .withWatermark(event_time_col, watermark)
-        .dropDuplicatesWithinWatermark(["content_hash"])
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
     )
 
 
@@ -60,11 +87,12 @@ def dedup_batch_twin(docs: DataFrame, order_col: str = "event_time",
     — they agree exactly when arrival order matches event time, which
     is what the tests feed and what a landing-zone ingest normally
     sees. The set of distinct surviving content hashes is identical
-    either way.
+    either way. NULL-text rows are exempt on both paths (doc-unique
+    key), so every media-only document survives.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("content_hash").orderBy(order_col, id_col)
+    w = Window.partitionBy(_dedup_key(id_col)).orderBy(order_col, id_col)
     return (
         with_content_hash(docs, text_col)
         .withColumn("_rn", F.row_number().over(w))

@@ -61,6 +61,43 @@ class TestDedupStream:
         out = spark.read.parquet(str(tmp_path / "out")).collect()
         assert sorted(r["doc_id"] for r in out) == ["a", "b"]
 
+    def test_null_text_docs_are_exempt(self, spark, tmp_path):
+        """Media-only (NULL-text) docs must ALL survive the prefilter —
+        a NULL content hash must never act as a shared dedup key."""
+        base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        rows = [
+            ("media_1", base, None),
+            ("media_2", base + datetime.timedelta(minutes=1), None),
+            ("t", base + datetime.timedelta(minutes=2), "real text"),
+            ("t_dup", base + datetime.timedelta(minutes=3), "real text"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id string, event_time timestamp, text string"
+        ).write.mode("append").parquet(str(in_dir))
+        _run_stream(spark, in_dir, tmp_path / "out", tmp_path / "ckpt")
+        out = spark.read.parquet(str(tmp_path / "out")).collect()
+        kept = sorted(r["doc_id"] for r in out)
+        # both NULL-text docs survive; exactly one of the text dups does
+        # (within one micro-batch the survivor is arbitrary)
+        assert len(kept) == 3 and kept[:2] == ["media_1", "media_2"]
+        assert kept[2] in ("t", "t_dup")
+
+    def test_batch_twin_null_text_docs_are_exempt(self, spark):
+        from n8n_tools_api_spark.streaming import dedup_batch_twin
+
+        base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [("media_1", base, None),
+             ("media_2", base + datetime.timedelta(minutes=1), None),
+             ("t", base + datetime.timedelta(minutes=2), "real text"),
+             ("t_dup", base + datetime.timedelta(minutes=3), "real text")],
+            "doc_id string, event_time timestamp, text string",
+        )
+        kept = sorted(r["doc_id"] for r in dedup_batch_twin(df).collect())
+        assert kept == ["media_1", "media_2", "t"]
+
     def test_batch_twin_first_seen_wins(self, spark):
         from n8n_tools_api_spark.streaming import dedup_batch_twin
 

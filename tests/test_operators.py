@@ -411,6 +411,42 @@ class TestDedup:
                 for r in simhash_hamming_pairs(corpus, max_distance=10).collect()}
         assert rows[("d0", "d0_copy")] == 0
 
+    def test_simhash_manku_matches_chunked_blocking(self, spark, sf_dir):
+        # Both blockings are recall-EXACT for d<=3 (pigeonhole), so on
+        # any corpus the verified outputs must be identical — this pins
+        # the Manku 3-of-6-block keys (round-2 verdict #2) against the
+        # old 4x16-bit chunk form on real sf text.
+        from n8n_tools_api_spark.operators.dedup import (
+            _simhash_hamming_pairs_chunked)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ).limit(400)
+        new = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_hamming_pairs(docs, max_distance=3).collect()}
+        old = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in _simhash_hamming_pairs_chunked(
+                   docs, max_distance=3).collect()}
+        assert new == old
+
+    def test_simhash_manku_plan_is_equi_join_only(self, spark, corpus):
+        plan = simhash_hamming_pairs(corpus, max_distance=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ngram_candidate_pairs_orientation_canonicalized(self, spark, corpus):
+        # a caller-supplied (b, a) pair must score the same as (a, b) —
+        # least/greatest canonicalization before the semi-join
+        fwd = spark.createDataFrame([("d0", "d0_copy")], "doc_a string, doc_b string")
+        rev = spark.createDataFrame([("d0_copy", "d0")], "doc_a string, doc_b string")
+        score_fwd = ngram_jaccard_pairs(
+            corpus, threshold=0.3, candidate_pairs=fwd).collect()
+        score_rev = ngram_jaccard_pairs(
+            corpus, threshold=0.3, candidate_pairs=rev).collect()
+        assert [tuple(r) for r in score_fwd] == [tuple(r) for r in score_rev]
+        assert score_fwd[0]["doc_a"] == "d0"
+
 
     def test_lsh_bucket_sizes_are_near_uniform(self, spark, sf_dir):
         # the no-salting claim for the band-bucket join (module

@@ -118,6 +118,23 @@ class TestRenderDocumentText:
     def test_empty(self):
         assert render_document_text([]) == ""
 
+    def test_page_number_fallback_is_service_variant(self):
+        # pages missing BOTH page_number and index: the reference is
+        # internally inconsistent (formatter numbers every such page 1,
+        # service numbers them positionally i+1) — we pin the SERVICE
+        # variant (mistral_service.py:510), the only choice that keeps
+        # banners strictly increasing; see render_document_text docstring
+        text = render_document_text(
+            [{"markdown": "First body."},
+             {"markdown": "Second body."},
+             {"markdown": "Third body."}]
+        )
+        assert "PAGE 1 of 3" in text
+        assert "PAGE 2 of 3" in text
+        assert "PAGE 3 of 3" in text
+        # page_number < total_pages gates the separator: 2 of 3 pages
+        assert text.count("-" * 30 + " End of Page " + "-" * 30) == 2
+
 
 class TestTOC:
     def test_toc_injected(self):
