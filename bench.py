@@ -81,7 +81,8 @@ def main() -> None:
         "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
         "q10_returned_items", "customer_acctbal_rank", "nation_revenue_rollup",
         "events_daily", "doc_token_counts", "doc_quality_scores",
-        "exact_dedup_stats", "cosine_topk",
+        "exact_dedup_stats", "cosine_topk", "formatted_fingerprints",
+        "curation_keep_list",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())

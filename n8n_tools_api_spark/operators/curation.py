@@ -1,0 +1,118 @@
+"""Composed curation pipeline — the engine's end-to-end product story.
+
+One flow: extract → clean (F1, inside extraction) → exact content-hash
+dedup (A10) → near-dup pair generation → connected components →
+canonical keep-list. Per input document the output says what the
+curated corpus does with it::
+
+    (doc_id, status 'kept' | 'exact_dup' | 'near_dup', canonical)
+
+where ``canonical`` is the surviving representative (itself for kept
+docs, the first-by-id exact twin, or the component minimum).
+
+Two near-dup strategies share everything else:
+
+* ``use_lsh=False`` — exact n-gram Jaccard over all survivor pairs.
+  Fully DuckDB-replayable, so the whole composed flow is oracle-checked
+  end-to-end (plans/catalog.py ``curation_keep_list``).
+* ``use_lsh=True`` — the 100-TB path: MinHash-LSH candidates
+  (zero-shuffle signatures, banded bucket join) prefilter the pair
+  stream, exact Jaccard then scores only candidates. Same output shape;
+  recall is LSH-approximate by design (rows-only query + bench suite).
+
+Scale notes: the only wide stages are the content-hash window (narrow
+key, map-side combine), the shingle/bucket self-join, and the
+components rounds; extraction and cleaning stay shuffle-free. Media
+bytes never enter this flow — it runs on extracted text only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cleaned_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text): run the real extraction stage over text
+    docs wrapped as one-span interleaved documents — the same
+    mapInPandas path the flagship pipeline uses (extraction applies the
+    F1 cleaning pass, ocr_response_formatter.py:148-173)."""
+    from n8n_tools_api_spark.operators import extract_spans
+
+    inter = docs.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )).alias("spans"),
+    )
+    return extract_spans(inter).select(
+        "doc_id",
+        F.coalesce(F.element_at("spans", 1).getField("text"), F.lit(""))
+        .alias("clean_text"),
+    )
+
+
+def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
+                       threshold: float = 0.5, k: int = 5) -> DataFrame:
+    """Full curation flow over (doc_id string, text string) documents.
+
+    Returns (doc_id, status, canonical) for EVERY input document,
+    ordered by the caller. See module docstring for the two strategies.
+    """
+    from n8n_tools_api_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        near_dup_components,
+        ngram_jaccard_pairs,
+    )
+
+    cleaned = cleaned_documents(docs)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = (
+        cleaned.withColumn("h", F.md5(F.col("clean_text").cast("binary")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("canon_exact", F.first("doc_id").over(w))
+    )
+    # materialize survivors once: the jaccard self-join (and the LSH
+    # candidate join, and every components round) would otherwise
+    # re-execute the pandas-UDF extraction per join side
+    survivors = (
+        ranked.where(F.col("rn") == 1)
+        .select("doc_id", "clean_text")
+        .localCheckpoint(eager=True)
+    )
+    if use_lsh:
+        cands = (
+            minhash_lsh_candidates(survivors, text_col="clean_text",
+                                   checkpoint_banded=True)
+            .where(F.col("n_shared_bands") >= 2)
+            .select("doc_a", "doc_b")
+        )
+        pairs = ngram_jaccard_pairs(survivors, text_col="clean_text", k=k,
+                                    threshold=threshold,
+                                    candidate_pairs=cands)
+    else:
+        pairs = ngram_jaccard_pairs(survivors, text_col="clean_text", k=k,
+                                    threshold=threshold)
+    comp = near_dup_components(pairs.select("doc_a", "doc_b"))
+    surv_out = (
+        survivors.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                F.lit("near_dup"),
+            ).otherwise(F.lit("kept")).alias("status"),
+            F.coalesce("component", F.col("doc_id")).alias("canonical"),
+        )
+    )
+    exact_out = ranked.where(F.col("rn") > 1).select(
+        "doc_id",
+        F.lit("exact_dup").alias("status"),
+        F.col("canon_exact").alias("canonical"),
+    )
+    return surv_out.unionByName(exact_out)

@@ -1511,6 +1511,349 @@ ORDER BY req_id
 """
 
 
+def _paged_format_corpus(spark, sf_dir):
+    """Deterministic multi-page interleaved corpus from the documents
+    table: 4 consecutive rows become one parent document's pdf_page
+    spans. Parent-keyed variations exercise every formatted-response
+    branch: parents %5∈{3,4} get 5×-inflated pages (bodies cross the
+    5000-char TOC gate), %5==4 parents add two extra ## headers per
+    page (>10 headers → the '... and K more sections' tail), %3==0/1
+    parents plant exactly one confidence/accuracy marker (A7's verbatim
+    and percentage branches; %3==2 parents exercise the None path).
+    One marker per parent by construction — the corpus has zero natural
+    markers (probed) — so the A7 average is a single value and immune
+    to float-sum ordering.
+    """
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    parent = F.floor(F.col("doc_id") / 4).cast("bigint")
+    page_idx = (F.col("doc_id") % 4).cast("int")
+    extra_headers = F.when(
+        parent % 5 == 4,
+        F.concat(F.lit("## Sub "), did, F.lit("a\n"),
+                 F.lit("## Sub "), did, F.lit("b\n")),
+    ).otherwise(F.lit(""))
+    body = F.when(parent % 5 >= 3,
+                  F.repeat(F.concat(F.col("text"), F.lit(" ")), 5)) \
+        .otherwise(F.col("text"))
+    marker = (
+        F.when((page_idx == 0) & (parent % 3 == 0),
+               F.lit("\nconfidence: 87.5"))
+        .when((page_idx == 2) & (parent % 3 == 1), F.lit("\naccuracy: 42"))
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(F.lit("# Sec "), did, F.lit("\n"),
+                   extra_headers, body, marker)
+    pages = docs.select(parent.alias("parent"), page_idx.alias("page_idx"),
+                        raw.alias("raw"))
+    return pages.groupBy("parent").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("page_idx").alias("offset"), F.col("raw").alias("page_text")
+        ))).alias("ps")
+    ).select(
+        F.concat(F.lit("fdoc_"),
+                 F.lpad(F.col("parent").cast("string"), 4, "0")).alias("doc_id"),
+        F.transform("ps", lambda p: F.struct(
+            F.lit("pdf_page").alias("kind"),
+            p["page_text"].alias("text"),
+            F.lit("").alias("media_ref"),
+            p["offset"].cast("int").alias("offset"),
+        )).alias("spans"),
+    )
+
+
+def formatted_fingerprints(spark, sf_dir):
+    """FORMATTED-RESPONSE ORACLE (F2/F3 + A5-A7 combined — round-2
+    verdict #1): the real mapInPandas formatter stage
+    (operators/formatter.py, semantics ocr_response_formatter.py:
+    105-195 banners/TOC, 641-713 density/language, 715-750 confidence)
+    over a deterministic sf-derived multi-page corpus, md5-fingerprinted
+    per document and replayed end-to-end in DuckDB: the six F1 cleaning
+    regexes, PAGE banners + End-of-Page rails, strip, header scan, TOC
+    assembly (both the plain and '... and K more' branches), char-
+    coverage language scoring, and confidence-marker mining.
+    """
+    from n8n_tools_api_spark.operators.formatter import format_documents
+
+    out = format_documents(_paged_format_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("extracted_text").cast("binary")).alias("text_md5"),
+        F.col("extracted_text").startswith("\n📋").alias("has_toc"),
+        "total_characters",
+        "estimated_words",
+        "text_density",       # int/4: exact in binary on both sides
+        "image_density",
+        "content_ratio",
+        "language",
+        # floor-truncate: reproducible in DuckDB (same rule as A6)
+        (F.floor(F.col("language_confidence") * 1e6) / 1e6)
+        .alias("language_confidence"),
+        "confidence_score",   # single planted marker per parent: exact
+    ).orderBy("doc_id")
+
+
+# the six F1 cleaning regexes as nested DuckDB RE2 replaces (the same
+# replay EXTRACT_CLEAN_SQL verified byte-identical to Python `re` on
+# this corpus), followed by a full-whitespace-charset trim (= .strip())
+def _clean6_sql(expr: str) -> str:
+    return (
+        "trim("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace("
+        f"{expr}"
+        r", '\n\s*\n\s*\n', '\n\n', 'g')"
+        r", '[ \t]+', ' ', 'g')"
+        r", '([a-z])([A-Z])', '\1 \2', 'g')"
+        r", '([0-9]+)([A-Za-z])', '\1 \2', 'g')"
+        r", '\s+([.!?,:;])', '\1', 'g')"
+        r", '([.!?])\s*([A-Z])', '\1 \2', 'g')"
+        ", ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+    )
+
+
+_WS_CHARSET = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+_FMT_LANG_SCORES = ",\n".join(
+    f"         (length(all_raw) - length(regexp_replace(all_raw, '{pat}', '', 'g')))"
+    f" / CAST(length(all_raw) AS DOUBLE) AS s_{lang}"
+    for lang, pat in _LANG_PATTERNS_SQL
+)
+_FMT_LANG_PICK = "\n".join(
+    f"            WHEN s_{lang} = best THEN '{lang}'"
+    for lang, _ in _LANG_PATTERNS_SQL
+)
+
+FORMATTED_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id // 4 AS parent,
+         CAST(doc_id % 4 AS INT) AS page_idx,
+         '# Sec ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || CASE WHEN (doc_id // 4) % 5 = 4
+                 THEN '## Sub ' || CAST(doc_id AS VARCHAR) || 'a' || chr(10)
+                   || '## Sub ' || CAST(doc_id AS VARCHAR) || 'b' || chr(10)
+                 ELSE '' END
+         || CASE WHEN (doc_id // 4) % 5 >= 3 THEN repeat(text || ' ', 5)
+                 ELSE text END
+         || CASE WHEN doc_id % 4 = 0 AND (doc_id // 4) % 3 = 0
+                 THEN chr(10) || 'confidence: 87.5'
+                 WHEN doc_id % 4 = 2 AND (doc_id // 4) % 3 = 1
+                 THEN chr(10) || 'accuracy: 42'
+                 ELSE '' END AS raw
+  FROM documents WHERE doc_id < 400
+),
+cleaned AS (
+  SELECT parent, page_idx, raw, {_clean6_sql('raw')} AS clean
+  FROM base
+),
+assembled AS (
+  SELECT parent,
+         string_agg(
+           chr(10) || repeat('=', 50) || chr(10) || '📄 PAGE '
+             || CAST(page_idx + 1 AS VARCHAR) || ' of 4'
+             || chr(10) || repeat('=', 50) || chr(10)
+           || chr(10) || clean
+           || CASE WHEN page_idx < 3
+                   THEN chr(10) || chr(10) || repeat('-', 30)
+                     || ' End of Page ' || repeat('-', 30) || chr(10)
+                   ELSE '' END,
+           chr(10) ORDER BY page_idx) AS joined,
+         string_agg(raw, ' ' ORDER BY page_idx) AS all_raw,
+         CAST(SUM(length(raw)) AS BIGINT) AS total_page_chars
+  FROM cleaned
+  GROUP BY parent
+),
+body AS (
+  SELECT parent, total_page_chars, all_raw,
+         trim(joined, {_WS_CHARSET}) AS body0
+  FROM assembled
+),
+toc AS (
+  SELECT parent, total_page_chars, all_raw, body0,
+         regexp_extract_all(body0, '(?m)^#+\s+(.+)$', 1) AS headers
+  FROM body
+),
+final_text AS (
+  SELECT parent, total_page_chars, all_raw,
+         CASE WHEN length(body0) > 5000 AND len(headers) > 3 THEN
+           chr(10) || '📋 **Table of Contents**' || chr(10)
+           || array_to_string([('• ' || h) for h in headers[1:10]], chr(10))
+           || CASE WHEN len(headers) > 10
+                   THEN chr(10) || '• ... and '
+                     || CAST(len(headers) - 10 AS VARCHAR) || ' more sections'
+                   ELSE '' END
+           || chr(10) || chr(10) || repeat('-', 50) || chr(10) || chr(10)
+           || body0
+         ELSE body0 END AS extracted,
+         length(body0) > 5000 AND len(headers) > 3 AS has_toc
+  FROM toc
+),
+lang AS (
+  SELECT parent,
+{_FMT_LANG_SCORES}
+  FROM final_text
+),
+best AS (
+  SELECT parent,
+         greatest(s_english, s_spanish, s_french, s_german,
+                  s_chinese, s_arabic, s_russian) AS best,
+         s_english, s_spanish, s_french, s_german,
+         s_chinese, s_arabic, s_russian
+  FROM lang
+),
+conf AS (
+  SELECT parent, AVG(v) AS confidence_score
+  FROM (
+    SELECT parent, CASE WHEN s <= 1 THEN s ELSE s / 100 END AS v
+    FROM (
+      SELECT parent, TRY_CAST(m AS DOUBLE) AS s
+      FROM base,
+           UNNEST(regexp_extract_all(raw, '(?i)confidence[:\s]*([0-9.]+)', 1)
+               || regexp_extract_all(raw, '(?i)accuracy[:\s]*([0-9.]+)', 1)
+               || regexp_extract_all(raw, '(?i)certainty[:\s]*([0-9.]+)', 1))
+             AS t(m)
+    )
+    WHERE s IS NOT NULL AND s >= 0 AND s <= 100
+  )
+  GROUP BY parent
+)
+SELECT 'fdoc_' || lpad(CAST(f.parent AS VARCHAR), 4, '0') AS doc_id,
+       md5(f.extracted) AS text_md5,
+       f.has_toc,
+       CAST(length(f.extracted) AS BIGINT) AS total_characters,
+       CAST(length(f.extracted) // 5 AS BIGINT) AS estimated_words,
+       CAST(f.total_page_chars AS DOUBLE) / 4 AS text_density,
+       0.0 AS image_density,
+       CAST(f.total_page_chars AS DOUBLE) AS content_ratio,
+       CASE WHEN b.best <= 0.5 THEN 'unknown'
+{_FMT_LANG_PICK}
+       END AS language,
+       floor(least(b.best, 1.0) * 1000000) / 1000000 AS language_confidence,
+       c.confidence_score
+FROM final_text f
+JOIN best b USING (parent)
+LEFT JOIN conf c USING (parent)
+ORDER BY doc_id
+"""
+
+
+def _curation_corpus(spark, sf_dir):
+    """documents<300 ∪ 40 planted exact copies ∪ 25 planted 90%-truncated
+    near-dups — the deterministic corpus both curation queries share."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    base = docs.where(F.col("doc_id").cast("bigint") < 300)
+    copies = docs.where(F.col("doc_id").cast("bigint") < 40).select(
+        F.concat(F.lit("copy_"), "doc_id").alias("doc_id"), "text")
+    muts = docs.where(F.col("doc_id").cast("bigint") < 25).select(
+        F.concat(F.lit("mut_"), "doc_id").alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) * 0.9 as int))")
+        .alias("text"))
+    return base.unionByName(copies).unionByName(muts)
+
+
+def curation_keep_list(spark, sf_dir):
+    """COMPOSED-PIPELINE ORACLE (round-2 verdict #4): the engine's full
+    curation flow — extract → F1 clean → exact content-hash dedup →
+    n-gram-Jaccard near-dups → connected components → canonical
+    keep-list — as ONE query, replayed end-to-end in DuckDB by chaining
+    the already-proven replays (clean6 regexes, md5 window dedup, the
+    ngram_jaccard_dups shingle replay incl. df-cap, and the recursive-CTE
+    transitive closure from doc_chain_components).
+
+    The LSH-prefiltered twin of this flow (the 100-TB path) is the
+    rows-only ``curation_pipeline`` entry + BENCH suite 3.
+    """
+    from n8n_tools_api_spark.operators.curation import curation_keep_list as flow
+
+    return flow(_curation_corpus(spark, sf_dir), use_lsh=False) \
+        .orderBy("doc_id")
+
+
+CURATION_SQL = rf"""
+WITH RECURSIVE corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'copy_' || CAST(doc_id AS VARCHAR), text
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT 'mut_' || CAST(doc_id AS VARCHAR),
+         substring(text, 1, CAST(floor(length(text) * 0.9) AS INT))
+  FROM documents WHERE doc_id < 25
+),
+cleaned AS (
+  SELECT doc_id, {_clean6_sql("COALESCE(text, '')")} AS ct FROM corpus
+),
+ranked AS (
+  SELECT doc_id, ct,
+         ROW_NUMBER() OVER (PARTITION BY md5(ct) ORDER BY doc_id) AS rn,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY md5(ct) ORDER BY doc_id)
+           AS canon
+  FROM cleaned
+),
+survivors AS (SELECT doc_id, ct FROM ranked WHERE rn = 1),
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(ct), '\s+') AS w
+  FROM survivors
+),
+sh_all AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+    THEN [array_to_string(w[i:i+4], ' ') for i in generate_series(1, len(w) - 4)]
+    ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM words
+),
+sh_distinct AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+n_docs AS (SELECT COUNT(*) AS n FROM survivors),
+over_cap AS (
+  SELECT shingle FROM sh_distinct, n_docs
+  GROUP BY shingle, n
+  HAVING COUNT(*) > greatest(floor(n * 0.01), 100)
+),
+sh AS (
+  SELECT * FROM sh_distinct WHERE shingle NOT IN (SELECT shingle FROM over_cap)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.5
+),
+undirected AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM undirected
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+),
+final AS (
+  SELECT s.doc_id,
+         CASE WHEN c.component IS NOT NULL AND c.component != s.doc_id
+              THEN 'near_dup' ELSE 'kept' END AS status,
+         COALESCE(c.component, s.doc_id) AS canonical
+  FROM survivors s LEFT JOIN comp c ON c.doc_id = s.doc_id
+  UNION ALL
+  SELECT doc_id, 'exact_dup', canon FROM ranked WHERE rn > 1
+)
+SELECT doc_id, status, canonical FROM final ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1557,4 +1900,6 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "ngram_jaccard_dups": (ngram_jaccard_dups, NGRAM_JACCARD_SQL),
     "doc_language_scores": (doc_language_scores, DOC_LANGUAGE_SQL),
     "stream_dedup_first_seen": (stream_dedup_first_seen, STREAM_DEDUP_SQL),
+    "formatted_fingerprints": (formatted_fingerprints, FORMATTED_SQL),
+    "curation_keep_list": (curation_keep_list, CURATION_SQL),
 }

@@ -122,6 +122,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_vec_id=0, k=10, nlist=16, nprobe=4)
 
 
+def ann_recall_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 vs the (oracle-backed) brute-force baseline at
+    nprobe ∈ {1, 4, 16} — the deterministic evidence row set for the
+    ANN index (recall floor pinned ≥0.9 at nprobe=4 in pytest; exact
+    1.0 at nprobe=nlist by construction)."""
+    from n8n_tools_api_spark.operators.similarity import ann_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall_at_k(emb, n_queries=8, k=10, nlist=16,
+                           nprobes=(1, 4, 16))
+
+
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference language detector (A6) agreement vs the lang column."""
     from n8n_tools_api_spark.operators.textstats import detect_language
@@ -195,6 +207,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation flow, the 100-TB path: extract → clean → exact
+    dedup → MinHash-LSH candidates → Jaccard scoring (candidates only)
+    → components → canonical keep-list. Same corpus and output shape as
+    the oracle-backed ``curation_keep_list`` (which runs exact Jaccard);
+    this variant's pair recall is LSH-approximate by design, so it is
+    rows-only — the oracle twin pins the semantics, BENCH suite 3 pins
+    the scaling."""
+    from n8n_tools_api_spark.operators.curation import curation_keep_list
+    from n8n_tools_api_spark.plans.catalog import _curation_corpus
+
+    return curation_keep_list(
+        _curation_corpus(spark, sf_dir), use_lsh=True
+    ).orderBy("doc_id")
+
+
 def formatted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's rich formatted-response shape over the synthetic
     corpus (banners/TOC text, image enrichment, A5-A7 metadata)."""
@@ -218,8 +246,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": simhash_near_dups,
     "near_dup_clusters": near_dup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_recall_evidence": ann_recall_evidence,
     "language_id": language_id,
     "multimodal_decode_stats": multimodal_decode_stats,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "formatted_documents": formatted_documents,
+    "curation_pipeline": curation_pipeline,
 }

@@ -6,12 +6,16 @@ evidenced at two parallelism levels on identical input (driver
 instruction): the same job, fresh JVM per level, over the same cached
 parquet corpus.
 
-Two suites:
+Three suites:
 * extraction — the headline `extract_spans` narrow mapInPandas job;
 * dedup — the shuffle-bound MinHash→LSH→connected-components flow
   (signature groupBy + band self-join + iterative label propagation),
   the path whose "band hash is uniform, no salting needed" claim in
-  operators/dedup.py needs measured evidence.
+  operators/dedup.py needs measured evidence;
+* curation — the COMPOSED product flow (extract → clean → exact
+  content-hash dedup → MinHash-LSH candidates → Jaccard scoring →
+  components → keep-list), i.e. operators/curation.py with
+  use_lsh=True over ~500k docs (round-2 verdict #4).
 
 Levels measured: local[2], local[8], local[32].
 * headline pair N=2 → 4N=8 — within this machine's memory-bandwidth
@@ -23,7 +27,8 @@ Levels measured: local[2], local[8], local[32].
 
 Efficiency = (dps_4N / dps_N) / 4; target ≥ 0.8.
 Writes BENCH/BASELINE.md. Usage:
-python scripts/scaling_bench.py [n_docs] [repeats] [suite: all|extract|dedup]
+python scripts/scaling_bench.py [n_docs] [repeats] \
+    [suite: all|extract|dedup|curation]
 """
 
 from __future__ import annotations
@@ -118,6 +123,64 @@ print("BENCHLINE " + json.dumps({"cpus": cpus, "docs": n_docs,
 spark.stop()
 """
 
+CURATION_JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+from pyspark.sql import functions as F
+from n8n_tools_api_spark.session import get_spark
+from n8n_tools_api_spark.operators.curation import curation_keep_list
+
+cpus = int(os.environ["BENCH_CPUS"])
+spark = get_spark(app_name=f"scaling-curation-{cpus}",
+                  master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+corpus_path = os.environ["BENCH_CURATION_CORPUS"]
+total_bytes = sum(
+    os.path.getsize(os.path.join(corpus_path, f))
+    for f in os.listdir(corpus_path) if f.endswith(".parquet"))
+mpb = max(total_bytes // (cpus * 4), 1 << 20)
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+corpus = spark.read.parquet(corpus_path)
+n_docs = corpus.count()
+best = None
+counts = None
+for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+    t0 = time.perf_counter()
+    out = curation_keep_list(corpus, use_lsh=True)
+    counts = {r["status"]: r["n"] for r in
+              out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    sec = time.perf_counter() - t0
+    if best is None or sec < best:
+        best = sec
+print("BENCHLINE " + json.dumps({"cpus": cpus, "docs": n_docs,
+                                 "kept": counts.get("kept", 0),
+                                 "exact_dup": counts.get("exact_dup", 0),
+                                 "near_dup": counts.get("near_dup", 0),
+                                 "seconds": round(best, 3),
+                                 "docs_per_sec": round(n_docs / best, 1)}))
+spark.stop()
+"""
+
+# curation corpus: the dedup corpus plus verbatim copies of every 25th
+# base document (so the exact-dedup stage has real work) — built once.
+BUILD_CURATION_CORPUS = r"""
+import os, sys
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+from pyspark.sql import functions as F
+from n8n_tools_api_spark.session import get_spark
+spark = get_spark(master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+base = spark.read.parquet(os.environ["BENCH_DEDUP_CORPUS"])
+copies = (base.where(~F.col("doc_id").startswith("mut_"))
+          .where(F.substring_index("doc_id", "_", 1).cast("bigint") % 25 == 0)
+          .select(F.concat(F.lit("copy_"), "doc_id").alias("doc_id"), "text"))
+out = base.unionByName(copies).repartition(256)
+out.write.mode("overwrite").parquet(os.environ["BENCH_CURATION_CORPUS"])
+spark.stop()
+"""
+
 # No-Spark hardware control: the SAME per-core work at 2 vs 8 busy
 # cores. Any wall-time inflation is the host (turbo clocks / shared
 # DRAM), not the engine — measured inflation becomes the normalization
@@ -201,13 +264,14 @@ def run_level(job: str, cpus: int, extra_env: dict | None = None) -> dict:
     return json.loads(lines[-1].removeprefix("BENCHLINE "))
 
 
-def interleaved(job: str, extra_env: dict | None = None) -> dict[int, dict]:
+def interleaved(job: str, extra_env: dict | None = None,
+                rounds: int = 3) -> dict[int, dict]:
     # interleave levels across rounds: this VM has minutes-long
     # noisy-neighbor windows, so consecutive repeats of one level all
     # land in the same window — alternating levels and keeping the
     # per-level best is the noise-robust lower-bound estimator
     best: dict[int, dict] = {}
-    for _round in range(3):
+    for _round in range(rounds):
         for cpus in (2, 8, 32):
             res = run_level(job, cpus, extra_env)
             if cpus not in best or res["docs_per_sec"] > best[cpus]["docs_per_sec"]:
@@ -357,6 +421,66 @@ re-checkpoints each round, so lineage stays O(1) and every round is
 one balanced hash join.
 """)
 
+    if SUITE in ("all", "curation"):
+        dedup_corpus = f"/tmp/spark_graft_bench/dedup_corpus_r{DEDUP_REPLICAS}.parquet"
+        if not os.path.isdir(dedup_corpus):
+            subprocess.run([sys.executable, "-c", BUILD_DEDUP_CORPUS],
+                           env=dict(env, BENCH_DEDUP_CORPUS=dedup_corpus,
+                                    BENCH_DEDUP_REPLICAS=str(DEDUP_REPLICAS)),
+                           check=True, capture_output=True, timeout=1800)
+        cur_corpus = f"/tmp/spark_graft_bench/curation_corpus_r{DEDUP_REPLICAS}.parquet"
+        if not os.path.isdir(cur_corpus):
+            subprocess.run([sys.executable, "-c", BUILD_CURATION_CORPUS],
+                           env=dict(env, BENCH_DEDUP_CORPUS=dedup_corpus,
+                                    BENCH_CURATION_CORPUS=cur_corpus),
+                           check=True, capture_output=True, timeout=1800)
+        # 2 rounds: the composed job is the longest suite; interleaving
+        # two rounds still de-noises while keeping total wall bounded
+        best = interleaved(CURATION_JOB, {"BENCH_CURATION_CORPUS": cur_corpus},
+                           rounds=2)
+        c2, c8, c32 = best[2], best[8], best[32]
+        for key in ("kept", "exact_dup", "near_dup"):
+            assert c2[key] == c8[key] == c32[key], \
+                f"{key} diverged across levels: {c2} {c8} {c32}"
+        ceff_2_8, ceff_8_32 = effs(best)
+        results["curation"] = {"local2": c2, "local8": c8, "local32": c32,
+                               "efficiency_2_to_8": ceff_2_8,
+                               "efficiency_8_to_32": ceff_8_32}
+        sections.append(f"""## Suite 3 — composed curation pipeline (product flow)
+
+Job: `operators/curation.py::curation_keep_list(use_lsh=True)` — ONE
+composed flow: extraction (narrow mapInPandas incl. F1 cleaning) →
+exact content-hash dedup (md5 window) → MinHash-LSH candidates
+(zero-shuffle signatures, banded bucket join) → exact Jaccard scoring
+of candidates only → min-label/pointer-jumping components → canonical
+keep-list, materialized via a status rollup. Corpus: the suite-2
+corpus plus verbatim copies of every 25th base document
+({c2['docs']} docs total; result identical at every level:
+{c2['kept']} kept / {c2['exact_dup']} exact_dup /
+{c2['near_dup']} near_dup).
+
+| level | cores | seconds | docs/sec |
+|---|---|---|---|
+| N   | 2  | {c2['seconds']} | {c2['docs_per_sec']} |
+| 4N  | 8  | {c8['seconds']} | {c8['docs_per_sec']} |
+| 16N | 32 | {c32['seconds']} | {c32['docs_per_sec']} |
+
+**Curation N→4N (2→8 cores): raw efficiency = {ceff_2_8}** (target
+>= 0.8: {"PASS" if ceff_2_8 >= 0.8 else
+"see suite 2's measured hardware ceiling — the same no-Spark control"
+" bounds ANY raw 2→8 measurement on this box at ~0.79"}).
+8→32 cores: raw efficiency {ceff_8_32} (single-box DRAM ceiling, as in
+suites 1-2).
+
+Semantics of this exact flow are oracle-checked end-to-end (DuckDB
+replay chain) as `curation_keep_list` in CORRECTNESS; this suite
+measures the LSH-prefiltered scale variant. The composed job inherits
+each stage's scaling story: extraction has zero exchanges, the exact
+stage is one map-side-combined window on a 128-bit uniform key, LSH
+signatures fold per-row, and Jaccard scoring touches only
+candidate-doc shingles (semi-join pushdown).
+""")
+
     # Symmetric section-preserving write: a run of ONE suite must never
     # discard the other suite's measured evidence (review finding — a
     # quick extract-only rerun used to truncate the dedup section).
@@ -372,12 +496,13 @@ Config: AQE on (coalesce + skewJoin), Arrow on
 (maxRecordsPerBatch=512), shuffle.partitions = core count, driver
 24g heap (local mode: all executors share the driver JVM).
 """
-    markers = {"extract": "## Suite 1 —", "dedup": "## Suite 2 —"}
+    markers = {"extract": "## Suite 1 —", "dedup": "## Suite 2 —",
+               "curation": "## Suite 3 —"}
     fresh: dict[str, str] = {}
-    if SUITE in ("all", "extract"):
-        fresh["extract"] = sections[0]
-    if SUITE in ("all", "dedup"):
-        fresh["dedup"] = sections[-1]
+    suite_order = ("extract", "dedup", "curation")
+    ran = [k for k in suite_order if SUITE in ("all", k)]
+    for key, section in zip(ran, sections):
+        fresh[key] = section
     path = f"{REPO}/BENCH/BASELINE.md"
     merged = {}
     if os.path.exists(path):
@@ -387,14 +512,14 @@ Config: AQE on (coalesce + skewJoin), Arrow on
             if marker in old:
                 seg = old.split(marker, 1)[1]
                 stops = [seg.find(s) for s in
-                         (markers["extract"], markers["dedup"], "\nConfig:")]
+                         (*markers.values(), "\nConfig:")]
                 stops = [s for s in stops if s != -1]
                 if stops:
                     seg = seg[:min(stops)]
                 merged[key] = marker + seg.rstrip() + "\n"
     merged.update(fresh)
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    body = "\n".join(merged[k] for k in ("extract", "dedup") if k in merged)
+    body = "\n".join(merged[k] for k in suite_order if k in merged)
     with open(path, "w") as f:
         f.write(header + body + config)
     print(json.dumps(results))

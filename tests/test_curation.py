@@ -1,0 +1,78 @@
+"""Composed curation pipeline: keep-list semantics + LSH-twin recall.
+
+The DuckDB end-to-end replay is in test_queries_oracle.py
+(curation_keep_list); these tests pin the operator-level contract and
+the LSH scale path's recall on the planted duplicates.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from n8n_tools_api_spark.operators.curation import curation_keep_list
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    from n8n_tools_api_spark.plans.catalog import _curation_corpus
+
+    return _curation_corpus(spark, sf_dir).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def exact_rows(spark, corpus):
+    return {r["doc_id"]: (r["status"], r["canonical"])
+            for r in curation_keep_list(corpus, use_lsh=False).collect()}
+
+
+class TestCurationKeepList:
+    def test_every_input_doc_gets_a_row(self, spark, corpus, exact_rows):
+        assert len(exact_rows) == corpus.count()
+
+    def test_planted_exact_copies_drop_to_their_original(self, exact_rows):
+        for i in range(40):
+            status, canonical = exact_rows[f"copy_{i}"]
+            assert status == "exact_dup"
+            assert canonical == str(i)
+            # and the original itself survives the exact stage
+            assert exact_rows[str(i)][0] in ("kept", "near_dup")
+
+    def test_planted_mutations_drop_as_near_dups(self, exact_rows):
+        # 90%-truncations sit far above the 0.5 jaccard threshold: every
+        # mut_i must land in the SAME component as its original (natural
+        # near-dup chains may pull the canonical elsewhere, e.g. 8~12
+        # chains and '12' < '8' lexicographically)
+        for i in range(25):
+            status, canonical = exact_rows[f"mut_{i}"]
+            assert status == "near_dup", f"mut_{i}"
+            orig_status, orig_canon = exact_rows[str(i)]
+            expected = orig_canon if orig_status == "near_dup" else str(i)
+            assert canonical == expected, f"mut_{i}"
+
+    def test_canonicals_are_kept_and_self_canonical(self, exact_rows):
+        for doc_id, (status, canonical) in exact_rows.items():
+            if status == "kept":
+                assert canonical == doc_id
+            elif status == "near_dup":
+                # a component's canonical survives near-dedup
+                assert exact_rows[canonical][0] == "kept"
+            else:
+                # an exact_dup's canonical is its exact-stage survivor,
+                # which may itself then drop as a near_dup — but never
+                # as another exact_dup
+                assert exact_rows[canonical][0] in ("kept", "near_dup")
+
+    def test_lsh_path_agrees_on_planted_dups(self, spark, corpus, exact_rows):
+        lsh_rows = {r["doc_id"]: (r["status"], r["canonical"])
+                    for r in curation_keep_list(corpus, use_lsh=True).collect()}
+        assert len(lsh_rows) == len(exact_rows)
+        # exact-dedup stage is identical (hash-based, LSH not involved)
+        for i in range(40):
+            assert lsh_rows[f"copy_{i}"] == exact_rows[f"copy_{i}"]
+        # the LSH prefilter must recall every planted 90%-truncation
+        for i in range(25):
+            assert lsh_rows[f"mut_{i}"][0] == "near_dup", f"mut_{i}"
+        # LSH keep-list is a superset of the exact keep-list (it can
+        # only MISS pairs, never invent them — jaccard re-scores)
+        exact_kept = {d for d, (s, _) in exact_rows.items() if s == "kept"}
+        lsh_kept = {d for d, (s, _) in lsh_rows.items() if s == "kept"}
+        assert exact_kept <= lsh_kept
