@@ -67,7 +67,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 5,
 
 
 def shingle_hash_array(df: DataFrame, text_col: str = "text", k: int = 5,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, shingle_hashes array<bigint>): one 64-bit hash per
     k-word shingle WITHOUT materializing shingle strings.
 
@@ -80,7 +81,7 @@ def shingle_hash_array(df: DataFrame, text_col: str = "text", k: int = 5,
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     with_wh = df.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("doc_id"), *keep_cols,
         F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
     )
     wh = F.col("_wh")
@@ -101,12 +102,14 @@ def shingle_hash_array(df: DataFrame, text_col: str = "text", k: int = 5,
             lambda i: F.aggregate(F.slice(wh, i + 1, k), zero, rot_fold),
         ),
     ).otherwise(F.array(F.aggregate(wh, zero, rot_fold)))
-    return with_wh.select("doc_id", hashes.alias("shingle_hashes"))
+    return with_wh.select("doc_id", *keep_cols,
+                          hashes.alias("shingle_hashes"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, k: int = 5,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document MinHash signature: (doc_id, sig array<bigint>) —
     a NARROW map, zero shuffle.
 
@@ -136,8 +139,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     text by design; only same-path comparisons are ever made.
     """
     P = F.lit(_MERSENNE_P)
-    base = shingle_hash_array(df, text_col, k, id_col).select(
-        "doc_id",
+    base = shingle_hash_array(df, text_col, k, id_col, keep_cols).select(
+        "doc_id", *keep_cols,
         F.transform("shingle_hashes", lambda v: F.pmod(v, P)).alias("_hs"),
     )
     sig = F.array(*[
@@ -145,23 +148,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                                 lambda h: (F.lit(a) * h + F.lit(b)) % P))
         for a, b in _perm_params(num_hashes)
     ])
-    return base.select("doc_id", sig.alias("sig"))
+    return base.select("doc_id", *keep_cols, sig.alias("sig"))
 
 
 def minhash_banded(df: DataFrame, text_col: str = "text",
                    num_hashes: int = 64, bands: int = 16, k: int = 5,
-                   id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, band, bucket) rows: the LSH banding of MinHash signatures.
+                   id_col: str = "doc_id",
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [keep_cols...,] band, bucket) rows: the LSH banding of
+    MinHash signatures.
 
     Exposed separately so callers can materialize it ONCE
     (``localCheckpoint(eager=True)``) before the self-join in
     lsh_candidates_from_banded — otherwise the shingle→signature
     pipeline (the expensive part) executes twice, once per join side.
+
+    ``keep_cols`` carries extra columns (e.g. the event-time column for
+    the streaming prefilter) through the otherwise doc_id-only output;
+    the whole stage stays a narrow per-row map either way.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, num_hashes, k, id_col)
+    sig = minhash_signatures(df, text_col, num_hashes, k, id_col, keep_cols)
     return sig.select(
-        "doc_id",
+        "doc_id", *keep_cols,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -179,7 +188,7 @@ def minhash_banded(df: DataFrame, text_col: str = "text",
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", *keep_cols, "bb.band", "bb.bucket")
 
 
 def lsh_candidates_from_banded(banded: DataFrame) -> DataFrame:

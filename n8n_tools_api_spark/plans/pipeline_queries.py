@@ -207,6 +207,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_neardup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming MinHash near-dup prefilter
+    (streaming/neardup_stream.py): bucket first-claim over documents ∪
+    later-arriving exact copies — every copy must be suppressed (all 16
+    bands collide), every original passes. Buckets are xxhash64-based
+    (no DuckDB replay); the stream/twin parity is pinned by
+    tests/test_neardup_stream.py."""
+    from n8n_tools_api_spark.streaming import neardup_prefilter_batch_twin
+
+    base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 200).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (base_ts + F.make_interval(mins=F.col("doc_id").cast("int")))
+            .alias("event_time"),
+            "text")
+    dups = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 50).select(
+            F.concat(F.lit("dup_"), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            (base_ts + F.make_interval(mins=(F.col("doc_id") + 500).cast("int")))
+            .alias("event_time"),
+            "text")
+    return (
+        neardup_prefilter_batch_twin(docs.unionByName(dups))
+        .select("doc_id",
+                F.date_format("event_time", "yyyy-MM-dd HH:mm:ss")
+                .alias("event_time"),
+                "novel_bands")
+        .orderBy("doc_id")
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation flow, the 100-TB path: extract → clean → exact
     dedup → MinHash-LSH candidates → Jaccard scoring (candidates only)
@@ -252,4 +285,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "formatted_documents": formatted_documents,
     "curation_pipeline": curation_pipeline,
+    "stream_neardup_prefilter": stream_neardup_prefilter,
 }

@@ -1,5 +1,9 @@
 from .dedup_stream import dedup_batch_twin, dedup_stream, with_content_hash
 from .incremental import incremental_extract
+from .neardup_stream import (
+    neardup_prefilter_batch_twin,
+    neardup_prefilter_stream,
+)
 from .stateful import sessionize_batch, sessionize_stream
 from .windowed import windowed_event_counts_batch, windowed_event_counts_stream
 
@@ -8,6 +12,8 @@ __all__ = [
     "dedup_stream",
     "with_content_hash",
     "incremental_extract",
+    "neardup_prefilter_batch_twin",
+    "neardup_prefilter_stream",
     "sessionize_batch",
     "sessionize_stream",
     "windowed_event_counts_batch",
