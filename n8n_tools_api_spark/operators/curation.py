@@ -71,19 +71,19 @@ def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
 
     cleaned = cleaned_documents(docs)
     w = Window.partitionBy("h").orderBy("doc_id")
+    # materialize the ranked frame ONCE: the survivor branch feeds the
+    # jaccard self-join (and the LSH candidate join, and every
+    # components round) while the exact_dup branch is unioned back at
+    # the end — without this the pandas-UDF extraction + hash window
+    # would execute once per consumer (measured: a full duplicate
+    # extraction pass in the suite-3 bench)
     ranked = (
         cleaned.withColumn("h", F.md5(F.col("clean_text").cast("binary")))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("canon_exact", F.first("doc_id").over(w))
-    )
-    # materialize survivors once: the jaccard self-join (and the LSH
-    # candidate join, and every components round) would otherwise
-    # re-execute the pandas-UDF extraction per join side
-    survivors = (
-        ranked.where(F.col("rn") == 1)
-        .select("doc_id", "clean_text")
         .localCheckpoint(eager=True)
     )
+    survivors = ranked.where(F.col("rn") == 1).select("doc_id", "clean_text")
     if use_lsh:
         cands = (
             minhash_lsh_candidates(survivors, text_col="clean_text",

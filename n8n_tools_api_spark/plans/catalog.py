@@ -1738,6 +1738,37 @@ ORDER BY doc_id
 """
 
 
+def extract_documents_stats_q(spark, sf_dir):
+    """FLAGSHIP ORACLE (upgraded from rows-only, round 3): the entry()
+    query — real mapInPandas extraction over every documents row
+    wrapped as a one-span interleaved doc, rolled up to per-document
+    span statistics — replayed in DuckDB via the proven clean6 mapping
+    (extract_clean_fingerprints established byte-parity of the span
+    text; this adds the span-count/char rollup on top)."""
+    from n8n_tools_api_spark.plans.pipeline_queries import (
+        extract_documents_stats)
+
+    return extract_documents_stats(spark, sf_dir)
+
+
+EXTRACT_STATS_SQL = rf"""
+WITH cleaned AS (
+  SELECT 'tdoc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         {_clean6_sql("text")} AS ct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN ct != '' THEN 1 ELSE 0 END AS INT) AS n_spans,
+       CAST(CASE WHEN ct != '' THEN 1 ELSE 0 END AS INT) AS n_text_spans,
+       CAST(0 AS INT) AS n_image_spans,
+       CAST(0 AS INT) AS n_media_refs,
+       CAST(CASE WHEN ct != '' THEN length(ct) ELSE 0 END AS BIGINT)
+         AS text_chars
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
 def _curation_corpus(spark, sf_dir):
     """documents<300 ∪ 40 planted exact copies ∪ 25 planted 90%-truncated
     near-dups — the deterministic corpus both curation queries share."""
@@ -1902,4 +1933,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "stream_dedup_first_seen": (stream_dedup_first_seen, STREAM_DEDUP_SQL),
     "formatted_fingerprints": (formatted_fingerprints, FORMATTED_SQL),
     "curation_keep_list": (curation_keep_list, CURATION_SQL),
+    "extract_documents_stats": (extract_documents_stats_q, EXTRACT_STATS_SQL),
 }

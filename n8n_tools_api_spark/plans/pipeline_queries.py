@@ -272,7 +272,8 @@ def formatted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "extract_documents_stats": extract_documents_stats,
+    # extract_documents_stats moved to the ORACLE registry (flagship,
+    # DuckDB-replayed via the proven clean6 mapping) — catalog.py
     "extract_synthetic_stats": extract_synthetic_stats,
     "extract_media_refs": extract_media_refs,
     "minhash_near_dups": minhash_near_dups,
