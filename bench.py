@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# best-of-3: this shared VM has minutes-long noisy-neighbor windows and
+# per-query swings of 2-3x between back-to-back runs were measured —
+# three repeats per query is the cheapest defensible noise floor
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 OUT_DIR = os.environ.get("SPARK_GRAFT_BENCH_OUT", "/tmp/spark_graft_bench")
 
 
