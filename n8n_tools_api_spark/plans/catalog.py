@@ -1226,6 +1226,67 @@ ORDER BY doc_id
 """
 
 
+def language_id_agreement(spark, sf_dir):
+    """DETECTOR-AGREEMENT ORACLE (upgraded from rows-only, round 3):
+    the A6 Arrow-UDF detector over EVERY document, rolled up per
+    (generator lang, detected) cell. The rollup is hash-safe because
+    the per-doc confidence is floor-truncated to 6dp and SUMMED as
+    DECIMAL(18,6) — order-independent, unlike a float average — then
+    cast back for display (CLAUDE.md determinism rules)."""
+    from n8n_tools_api_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        detect_language(docs)
+        .groupBy("lang", "detected")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.round(F.sum(F.col("confidence").cast("decimal(18,6)"))
+                     .cast("double"), 6).alias("sum_confidence"))
+        .orderBy("lang", "detected")
+    )
+
+
+_LANG_SCORE_COLS_ALL = ",\n".join(
+    f"         (length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+    f" / CAST(length(text) AS DOUBLE) AS s_{lang}"
+    for lang, pat in _LANG_PATTERNS_SQL
+)
+
+LANGUAGE_ID_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+{_LANG_SCORE_COLS_ALL},
+         text IS NULL
+           OR trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                   || chr(11) || chr(12)) = '' AS is_blank
+  FROM documents
+),
+best AS (
+  SELECT lang, is_blank, {_LANG_BEST} AS best,
+         s_english, s_spanish, s_french, s_german,
+         s_chinese, s_arabic, s_russian
+  FROM scored
+),
+per_doc AS (
+  SELECT lang,
+         CASE WHEN is_blank OR best <= 0.5 THEN 'unknown'
+{_LANG_PICK}
+         END AS detected,
+         CASE WHEN is_blank THEN 0.0
+              ELSE floor(least(best, 1.0) * 1000000) / 1000000
+         END AS confidence
+  FROM best
+)
+SELECT lang, detected,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(confidence AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_confidence
+FROM per_doc
+GROUP BY lang, detected
+ORDER BY lang, detected
+"""
+
+
 def ngram_jaccard_dups(spark, sf_dir):
     """LLM-PIPELINE ORACLE: exact n-gram Jaccard over documents ∪
     deterministic truncated mutations, cross-checked against a DuckDB
@@ -1934,4 +1995,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "formatted_fingerprints": (formatted_fingerprints, FORMATTED_SQL),
     "curation_keep_list": (curation_keep_list, CURATION_SQL),
     "extract_documents_stats": (extract_documents_stats_q, EXTRACT_STATS_SQL),
+    "language_id": (language_id_agreement, LANGUAGE_ID_SQL),
 }

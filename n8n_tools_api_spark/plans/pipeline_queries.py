@@ -134,22 +134,9 @@ def ann_recall_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
                            nprobes=(1, 4, 16))
 
 
-def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference language detector (A6) agreement vs the lang column."""
-    from n8n_tools_api_spark.operators.textstats import detect_language
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        detect_language(docs)
-        .groupBy("lang", "detected")
-        .agg(F.count("*").alias("n_docs"),
-             F.round(F.avg("confidence"), 4).alias("avg_confidence"))
-        .orderBy("lang", "detected")
-    )
-
-
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode stage (stub codec): per-kind metadata stats."""
+    """Binary media decode stage (real stdlib header codec for still
+    images; deterministic fake for other payloads): per-kind stats."""
     from n8n_tools_api_spark.operators.media import distinct_media_blobs
     from n8n_tools_api_spark.operators.multimodal import decode_media
     from n8n_tools_api_spark.sources import interleaved_df
@@ -281,7 +268,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": near_dup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_evidence": ann_recall_evidence,
-    "language_id": language_id,
+    # language_id moved to the ORACLE registry (decimal-sum rollup,
+    # DuckDB char-coverage replay) — catalog.py:language_id_agreement
     "multimodal_decode_stats": multimodal_decode_stats,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "formatted_documents": formatted_documents,
