@@ -51,8 +51,12 @@ def cleaned_documents(docs: DataFrame) -> DataFrame:
     )
     return extract_spans(inter).select(
         "doc_id",
-        F.coalesce(F.element_at("spans", 1).getField("text"), F.lit(""))
-        .alias("clean_text"),
+        # try_element_at, not element_at: a NULL/blank-text doc extracts
+        # to ZERO spans and ANSI-mode element_at throws on the empty
+        # array (caught by the hostile-input test) — such docs clean to
+        # '' and dedup among themselves, matching the oracle's COALESCE
+        F.coalesce(F.try_element_at("spans", F.lit(1)).getField("text"),
+                   F.lit("")).alias("clean_text"),
     )
 
 

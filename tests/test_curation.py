@@ -61,6 +61,24 @@ class TestCurationKeepList:
                 # as another exact_dup
                 assert exact_rows[canonical][0] in ("kept", "near_dup")
 
+    def test_hostile_inputs_null_text_and_singletons(self, spark):
+        # NULL-text docs must flow through extraction → '' clean text;
+        # two NULL-text docs then hash-collide on md5('') and dedup as
+        # exact twins (consistent with the oracle's COALESCE replay)
+        docs = spark.createDataFrame(
+            [("n1", None), ("n2", None),
+             ("t", "some real content words here for shingling purposes")],
+            "doc_id string, text string")
+        rows = {r["doc_id"]: (r["status"], r["canonical"])
+                for r in curation_keep_list(docs, use_lsh=False).collect()}
+        assert rows["n1"] == ("kept", "n1")
+        assert rows["n2"] == ("exact_dup", "n1")
+        assert rows["t"] == ("kept", "t")
+
+    def test_empty_corpus_yields_empty_keep_list(self, spark):
+        docs = spark.createDataFrame([], "doc_id string, text string")
+        assert curation_keep_list(docs, use_lsh=False).count() == 0
+
     def test_lsh_path_agrees_on_planted_dups(self, spark, corpus, exact_rows):
         lsh_rows = {r["doc_id"]: (r["status"], r["canonical"])
                     for r in curation_keep_list(corpus, use_lsh=True).collect()}
