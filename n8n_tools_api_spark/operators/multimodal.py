@@ -66,7 +66,17 @@ def real_decode(payload: bytes) -> tuple[int, int, int]:
 
     Raises ValueError for anything else — callers that must stay total
     (the batch decode stage) catch it and fall back to ``_fake_decode``.
+    Truncated/malformed payloads of a recognized format also surface as
+    ValueError (struct/index errors are wrapped), so the documented
+    contract holds for external callers.
     """
+    try:
+        return _real_decode_raw(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed image payload: {e}") from e
+
+
+def _real_decode_raw(payload: bytes) -> tuple[int, int, int]:
     if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 26:
         w, h = struct.unpack(">II", payload[16:24])
         return (w, h, _PNG_CHANNELS.get(payload[25], 3))
@@ -107,7 +117,10 @@ def real_decode(payload: bytes) -> tuple[int, int, int]:
         return _tiff_dims(payload)
     if payload.startswith(b"BM") and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
-        return (w, abs(h), 3)  # negative height = top-down row order
+        if w <= 0 or h == 0:  # negative height = top-down row order is
+            # legal, but width must be positive and height non-zero
+            raise ValueError(f"malformed BMP dimensions ({w}x{h})")
+        return (w, abs(h), 3)
     raise ValueError("unrecognized image format (no PNG/GIF/JPEG/TIFF/BMP "
                      "magic); audio/video need an external codec")
 

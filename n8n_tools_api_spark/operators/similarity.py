@@ -160,6 +160,12 @@ def ann_recall_at_k(emb: DataFrame, n_queries: int = 8, k: int = 10,
         .select("qid", id_col)
         .localCheckpoint(eager=True)
     )
+    # recall denominator = the ACTUAL brute-pair count, not n_queries*k:
+    # on a corpus with fewer than k+1 vectors each query's brute top-k
+    # has <k rows, and dividing by the literal would break the
+    # "recall == 1.0 at nprobe == nlist" invariant (review finding).
+    # brute is checkpointed, so this count is a cheap local scan.
+    n_brute = max(brute.count(), 1)
     centroids, assigned = ivf_assign(emb, nlist, id_col, vec_col)
     assigned = assigned.localCheckpoint(eager=True)
     probe_rank = (
@@ -186,7 +192,7 @@ def ann_recall_at_k(emb: DataFrame, n_queries: int = 8, k: int = 10,
         )
         row = (
             ivf.join(brute, ["qid", id_col], "left_semi")
-            .agg((F.count("*") / F.lit(n_queries * k)).alias("recall_at_k"))
+            .agg((F.count("*") / F.lit(n_brute)).alias("recall_at_k"))
             .select(F.lit(np_).alias("nprobe"),
                     F.lit(n_queries).alias("n_queries"),
                     F.lit(k).alias("k"),

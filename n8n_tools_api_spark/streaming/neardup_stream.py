@@ -40,10 +40,29 @@ from pyspark.sql import functions as F
 
 def _banded(docs: DataFrame, event_time_col: str, text_col: str,
             num_hashes: int, bands: int, k: int) -> DataFrame:
+    """Band buckets with the NULL-text exemption applied.
+
+    Media-only documents (NULL text) all fold to the identical all-NULL
+    MinHash signature — ``concat_ws`` skips NULLs, so every band bucket
+    collides and the first media-only doc in the watermark would
+    suppress ALL later ones (silent data loss directly upstream of
+    extraction — same bug class dedup_stream exempts via _dedup_key).
+    Salt their buckets with a doc-unique key instead: every band of a
+    NULL-text doc becomes (band, xxhash64('__nulltext__:'+doc_id)),
+    unique per document, so each media-only doc claims all its buckets
+    and always passes. Text-bearing docs are untouched.
+    """
     from n8n_tools_api_spark.operators.dedup import minhash_banded
 
-    return minhash_banded(docs, text_col=text_col, num_hashes=num_hashes,
-                          bands=bands, k=k, keep_cols=(event_time_col,))
+    flagged = docs.withColumn("_nulltext", F.col(text_col).isNull())
+    banded = minhash_banded(flagged, text_col=text_col, num_hashes=num_hashes,
+                            bands=bands, k=k,
+                            keep_cols=(event_time_col, "_nulltext"))
+    salted = F.when(
+        F.col("_nulltext"),
+        F.xxhash64(F.concat(F.lit("__nulltext__:"), F.col("doc_id"))),
+    ).otherwise(F.col("bucket"))
+    return banded.withColumn("bucket", salted).drop("_nulltext")
 
 
 def neardup_prefilter_stream(docs: DataFrame,

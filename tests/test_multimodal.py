@@ -100,6 +100,27 @@ class TestRealDecode:
         assert _decode_one(b"\xff\xd8\xff\xe0\x00") == _fake_decode(
             b"\xff\xd8\xff\xe0\x00")
 
+    def test_truncated_payloads_raise_valueerror_not_struct_error(self):
+        """Public contract: real_decode raises ValueError for anything
+        it can't parse — struct/index errors from truncated recognized
+        formats must be wrapped, not leak (review finding)."""
+        truncated_tiff = b"II*\x00\xff\xff\xff\xff"  # IFD offset past EOF
+        # IFD claims 2 tags but the payload ends mid-tag-table
+        cut_tags = _tiff(800, 600, little=False)[:14]
+        for payload in (truncated_tiff, cut_tags):
+            with pytest.raises(ValueError):
+                real_decode(payload)
+            assert _decode_one(payload) == _fake_decode(payload)
+
+    def test_malformed_bmp_nonpositive_width_falls_back(self):
+        """A BMP with negative width is malformed (only height may be
+        negative = top-down); it must fall back to the fake, never
+        return a negative width (review finding)."""
+        bad = _bmp(-64, 48)
+        with pytest.raises(ValueError):
+            real_decode(bad)
+        assert _decode_one(bad) == _fake_decode(bad)
+
 
 class TestDecodeMediaStage:
     def test_real_dims_flow_through_mapinpandas(self, spark):

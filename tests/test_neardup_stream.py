@@ -124,6 +124,50 @@ class TestNeardupPrefilterStream:
         assert not any("_" in i for i in ids)  # only originals pass
         assert len(ids) >= 190
 
+    def test_null_text_docs_are_exempt(self, spark, tmp_path):
+        """Media-only (NULL-text) docs fold to the identical all-NULL
+        MinHash signature (concat_ws skips NULLs), so without the
+        doc-unique bucket salt the first one would suppress ALL later
+        ones inside the watermark — silent data loss directly upstream
+        of extraction. Every media-only doc must pass."""
+        base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        schema = "doc_id string, event_time timestamp, text string"
+        spark.createDataFrame(
+            [("media_1", base, None),
+             ("t", base + datetime.timedelta(minutes=1), _mk_text("alpha"))],
+            schema).write.mode("append").parquet(str(in_dir))
+        _run_stream(spark, in_dir, tmp_path / "out", tmp_path / "ckpt",
+                    watermark="2 hours")
+        spark.createDataFrame(
+            [("media_2", base + datetime.timedelta(minutes=2), None),
+             ("media_3", base + datetime.timedelta(minutes=3), None),
+             ("t_copy", base + datetime.timedelta(minutes=4), _mk_text("alpha"))],
+            schema).write.mode("append").parquet(str(in_dir))
+        _run_stream(spark, in_dir, tmp_path / "out", tmp_path / "ckpt",
+                    watermark="2 hours")
+        kept = sorted(r["doc_id"]
+                      for r in spark.read.parquet(str(tmp_path / "out")).collect())
+        # all three media-only docs survive; the exact text copy drops
+        assert kept == ["media_1", "media_2", "media_3", "t"]
+
+    def test_batch_twin_null_text_docs_are_exempt(self, spark):
+        from n8n_tools_api_spark.streaming import neardup_prefilter_batch_twin
+
+        base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [("media_1", base, None),
+             ("media_2", base + datetime.timedelta(minutes=1), None),
+             ("t", base + datetime.timedelta(minutes=2), _mk_text("alpha")),
+             ("t_copy", base + datetime.timedelta(minutes=3), _mk_text("alpha"))],
+            "doc_id string, event_time timestamp, text string",
+        )
+        out = {r["doc_id"]: r["novel_bands"]
+               for r in neardup_prefilter_batch_twin(df).collect()}
+        # every media-only doc claims all 16 (salted) buckets
+        assert out == {"media_1": 16, "media_2": 16, "t": 16}
+
     def test_batch_twin_first_claim_is_event_time_ordered(self, spark):
         from n8n_tools_api_spark.streaming import neardup_prefilter_batch_twin
 

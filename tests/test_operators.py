@@ -634,3 +634,18 @@ class TestSimilarity:
         assert rows[4] >= 0.9, rows
         assert rows[16] == 1.0, rows
         assert rows[1] <= rows[4] <= rows[16], rows
+
+    def test_ann_recall_denominator_on_tiny_corpus(self, spark):
+        # review finding: with fewer than k+1 vectors the brute top-k
+        # has <k rows per query; recall must divide by the actual brute
+        # pair count so nprobe==nlist is still exactly 1.0
+        from n8n_tools_api_spark.operators.similarity import ann_recall_at_k
+
+        rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
+                for i in range(5)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        got = {r["nprobe"]: r["recall_at_k"]
+               for r in ann_recall_at_k(emb, n_queries=2, k=10, nlist=4,
+                                        nprobes=(4,)).collect()}
+        assert got[4] == 1.0, got
