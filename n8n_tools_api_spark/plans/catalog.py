@@ -1572,6 +1572,147 @@ ORDER BY req_id
 """
 
 
+def lineage_health(spark, sf_dir):
+    """The A9/O3 health-score model (error_metrics.py:421-458 weighted
+    score + 5-tier status, :460-520 fixed-priority recommendations,
+    ocr.py:225 top-3 slice) over a deterministic operations log derived
+    from the documents table. The 8 service groups are tuned to plant
+    every status tier (critical/excellent/fair/good/poor), the
+    no-recommendation fallback (group 1), a single-rec group (group 2),
+    the low-volume branch (group 0 has 4 ops), and both error-code-
+    specific recommendations inside AND cut off by the top-3 slice.
+    All ms values are integer-valued doubles so the sums are exact and
+    the DuckDB replay is bit-identical."""
+    from n8n_tools_api_spark.operators.health import health_rollup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    svc = (
+        F.when(F.col("doc_id") < 4, F.lit(0))
+        .otherwise(1 + F.col("doc_id") % 7)
+        .cast("int")
+    )
+    base = docs.select("doc_id", svc.alias("svc_group"))
+    g = F.col("svc_group")
+    err_mod = (
+        F.when(g == 0, 2).when(g == 3, 6).when(g == 4, 8)
+        .when(g == 5, 9).when(g == 6, 10).when(g == 7, 29)
+    )
+    is_err = err_mod.isNotNull() & (F.col("doc_id") % err_mod == 0)
+    code = (
+        F.when(~is_err, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 3 == 0, "FILE_TOO_LARGE")
+        .when(F.col("doc_id") % 3 == 1, "API_AUTHENTICATION_FAILED")
+        .otherwise("PROCESSING_FAILED")
+    )
+    ms_factor = (
+        F.when(g == 0, 20000).when(g == 2, 1200).when(g == 7, 100)
+        .otherwise(g * 100)
+    )
+    ops = base.select(
+        "svc_group",
+        code.alias("error_code"),
+        ((F.col("doc_id") % 50) * ms_factor).cast("double")
+        .alias("processing_time_ms"),
+    )
+    return health_rollup(ops).orderBy("svc_group")
+
+
+# Mirrors operators/health.py exactly: same expression order for the
+# weighted score (ers*0.5 + ls*0.3 + vs*0.2, left-assoc), status tiers
+# on the UNROUNDED score, fixed-priority recommendation list sliced to
+# three. Integer sums wrapped in CAST(.. AS BIGINT) (DuckDB HUGEINT).
+LINEAGE_HEALTH_SQL = """
+WITH grouped AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id < 4 THEN 0 ELSE 1 + doc_id % 7 END AS INT)
+           AS svc_group
+  FROM documents WHERE doc_id < 400
+),
+ops AS (
+  SELECT svc_group,
+         CASE WHEN err_mod IS NOT NULL AND doc_id % err_mod = 0 THEN
+              CASE WHEN doc_id % 3 = 0 THEN 'FILE_TOO_LARGE'
+                   WHEN doc_id % 3 = 1 THEN 'API_AUTHENTICATION_FAILED'
+                   ELSE 'PROCESSING_FAILED' END
+         END AS error_code,
+         CAST((doc_id % 50) *
+              CASE svc_group WHEN 0 THEN 20000 WHEN 2 THEN 1200
+                             WHEN 7 THEN 100 ELSE svc_group * 100 END
+              AS DOUBLE) AS processing_time_ms
+  FROM (SELECT doc_id, svc_group,
+               CASE svc_group WHEN 0 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 8
+                              WHEN 5 THEN 9 WHEN 6 THEN 10 WHEN 7 THEN 29
+               END AS err_mod
+        FROM grouped)
+),
+agg AS (
+  SELECT svc_group,
+         CAST(COUNT(*) AS BIGINT) AS total_requests,
+         CAST(COUNT(error_code) AS BIGINT) AS total_errors,
+         CAST(SUM(CASE WHEN error_code = 'API_AUTHENTICATION_FAILED'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_auth,
+         CAST(SUM(CASE WHEN error_code = 'FILE_TOO_LARGE'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_too_large,
+         CAST(SUM(processing_time_ms) AS DOUBLE) AS sum_ms
+  FROM ops GROUP BY svc_group
+),
+rated AS (
+  SELECT *,
+         CAST(total_errors AS DOUBLE) / total_requests AS error_rate,
+         sum_ms / total_requests AS avg_ms
+  FROM agg
+),
+scored AS (
+  SELECT *,
+         GREATEST(0.0, 100.0 - error_rate * 500.0) AS ers,
+         GREATEST(0.0, 100.0 - avg_ms / 100.0) AS ls,
+         CASE WHEN total_requests > 0
+              THEN LEAST(100.0, CAST(total_requests * 2 AS DOUBLE))
+              ELSE 0.0 END AS vs
+  FROM rated
+),
+health AS (
+  SELECT *, ers * 0.5 + ls * 0.3 + vs * 0.2 AS h FROM scored
+),
+recs AS (
+  SELECT *,
+    list_filter([
+      CASE WHEN error_rate > 0.1 THEN
+        'High error rate detected - review error logs and fix common issues' END,
+      CASE WHEN avg_ms > 15000 THEN
+        'Slow processing times - consider optimizing document processing' END,
+      CASE WHEN total_requests < 10 THEN
+        'Low request volume - verify service availability and monitoring' END,
+      CASE WHEN h < 50 THEN
+        'Critical health score - immediate investigation required' END,
+      CASE WHEN n_auth > 0 THEN
+        'Authentication failures detected - verify API key configuration' END,
+      CASE WHEN n_too_large > 0 THEN
+        'File size errors - consider implementing better size validation' END
+    ], x -> x IS NOT NULL) AS rl
+  FROM health
+)
+SELECT svc_group, total_requests, total_errors,
+       round(error_rate, 4) AS error_rate,
+       round(1.0 - error_rate, 4) AS success_rate,
+       round(avg_ms, 2) AS avg_processing_time_ms,
+       round(ers, 1) AS error_rate_score,
+       round(ls, 1) AS latency_score,
+       round(vs, 1) AS volume_score,
+       round(h, 1) AS health_score,
+       CASE WHEN h >= 90 THEN 'excellent' WHEN h >= 75 THEN 'good'
+            WHEN h >= 50 THEN 'fair' WHEN h >= 25 THEN 'poor'
+            ELSE 'critical' END AS status,
+       CASE WHEN len(rl) = 0
+            THEN 'System operating normally - continue monitoring'
+            ELSE rl[1] END AS rec_1,
+       CASE WHEN len(rl) = 0 THEN NULL ELSE rl[2] END AS rec_2,
+       CASE WHEN len(rl) = 0 THEN NULL ELSE rl[3] END AS rec_3
+FROM recs
+ORDER BY svc_group
+"""
+
+
 def _paged_format_corpus(spark, sf_dir):
     """Deterministic multi-page interleaved corpus from the documents
     table: 4 consecutive rows become one parent document's pdf_page
@@ -1996,4 +2137,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "curation_keep_list": (curation_keep_list, CURATION_SQL),
     "extract_documents_stats": (extract_documents_stats_q, EXTRACT_STATS_SQL),
     "language_id": (language_id_agreement, LANGUAGE_ID_SQL),
+    "lineage_health": (lineage_health, LINEAGE_HEALTH_SQL),
 }
