@@ -61,18 +61,29 @@ def cleaned_documents(docs: DataFrame) -> DataFrame:
 
 
 def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
-                       threshold: float = 0.5, k: int = 5) -> DataFrame:
+                       threshold: float = 0.5, k: int = 5,
+                       checkpoint_dir: str | None = None) -> DataFrame:
     """Full curation flow over (doc_id string, text string) documents.
 
     Returns (doc_id, status, canonical) for EVERY input document,
     ordered by the caller. See module docstring for the two strategies.
+
+    ``checkpoint_dir`` makes every intermediate materialization
+    reliable (parquet on shared storage instead of executor-local
+    blocks — operators/materialize.py): the ranked frame, the LSH
+    banded frame, and every components round. Default localCheckpoint
+    is right on local[k]; on a 1000-executor cluster a lost executor
+    would otherwise kill the multi-hour run mid-loop (round-3 verdict
+    #2).
     """
     from n8n_tools_api_spark.operators.dedup import (
         minhash_lsh_candidates,
         near_dup_components,
         ngram_jaccard_pairs,
     )
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
 
+    mat = RoundMaterializer(checkpoint_dir)
     cleaned = cleaned_documents(docs)
     w = Window.partitionBy("h").orderBy("doc_id")
     # materialize the ranked frame ONCE: the survivor branch feeds the
@@ -81,17 +92,18 @@ def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
     # the end — without this the pandas-UDF extraction + hash window
     # would execute once per consumer (measured: a full duplicate
     # extraction pass in the suite-3 bench)
-    ranked = (
+    ranked = mat(
         cleaned.withColumn("h", F.md5(F.col("clean_text").cast("binary")))
         .withColumn("rn", F.row_number().over(w))
-        .withColumn("canon_exact", F.first("doc_id").over(w))
-        .localCheckpoint(eager=True)
+        .withColumn("canon_exact", F.first("doc_id").over(w)),
+        "ranked",
     )
     survivors = ranked.where(F.col("rn") == 1).select("doc_id", "clean_text")
     if use_lsh:
         cands = (
             minhash_lsh_candidates(survivors, text_col="clean_text",
-                                   checkpoint_banded=True)
+                                   checkpoint_banded=True,
+                                   checkpoint_dir=checkpoint_dir)
             .where(F.col("n_shared_bands") >= 2)
             .select("doc_a", "doc_b")
         )
@@ -101,7 +113,8 @@ def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
     else:
         pairs = ngram_jaccard_pairs(survivors, text_col="clean_text", k=k,
                                     threshold=threshold)
-    comp = near_dup_components(pairs.select("doc_a", "doc_b"))
+    comp = near_dup_components(pairs.select("doc_a", "doc_b"),
+                               checkpoint_dir=checkpoint_dir)
     surv_out = (
         survivors.join(comp, "doc_id", "left")
         .select(

@@ -207,7 +207,8 @@ def lsh_candidates_from_banded(banded: DataFrame) -> DataFrame:
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            num_hashes: int = 64, bands: int = 16, k: int = 5,
                            id_col: str = "doc_id",
-                           checkpoint_banded: bool = False) -> DataFrame:
+                           checkpoint_banded: bool = False,
+                           checkpoint_dir: str | None = None) -> DataFrame:
     """LSH candidate pairs: (doc_a, doc_b, n_shared_bands).
 
     Signature → ``bands`` band-hashes (xxhash64 over each signature
@@ -220,11 +221,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     composition into longer lineages the caller manages (a library
     can't unpersist safely; localCheckpoint blocks are reclaimed only
     with the RDD, so callers who loop should own materialization via
-    minhash_banded).
+    minhash_banded). ``checkpoint_dir`` makes that materialization
+    reliable (parquet round-trip instead of executor-storage blocks —
+    see operators/materialize.py) so executor loss can't kill a long
+    run between the signature stage and the bucket join.
     """
+    from .materialize import RoundMaterializer
+
     banded = minhash_banded(df, text_col, num_hashes, bands, k, id_col)
-    if checkpoint_banded:
-        banded = banded.localCheckpoint(eager=True)
+    if checkpoint_banded or checkpoint_dir is not None:
+        banded = RoundMaterializer(checkpoint_dir)(banded, "banded")
     return lsh_candidates_from_banded(banded)
 
 
@@ -540,7 +546,8 @@ def embedding_near_dups(emb: DataFrame, dim: int, threshold: float = 0.95,
     )
 
 
-def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def near_dup_components(pairs: DataFrame, max_iters: int = 20,
+                        checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
     Pairwise candidates (MinHash/SimHash/embedding LSH) are not enough
@@ -549,33 +556,50 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     neighbors, then (2) pointer jumping — every doc also adopts its
     current label's label — so convergence is O(log diameter), not
     O(diameter) (a 25-doc drifting-edit chain converges in ~5 rounds,
-    not 24). Rounds are joins + aggregates, all JVM-side, with a
-    localCheckpoint per round to cut lineage. If the loop exhausts
-    ``max_iters`` without reaching the fixpoint it RAISES — silently
-    wrong components would split real duplicate clusters.
+    not 24). Rounds are joins + aggregates, all JVM-side. If the loop
+    exhausts ``max_iters`` without reaching the fixpoint it RAISES —
+    silently wrong components would split real duplicate clusters.
+
+    Per-round cost is ONE job (round-3 verdict #6): the previous label
+    rides along as ``_prev``, so the convergence check is a join-free
+    aggregate over the round's output, and in local mode the round's
+    lazy localCheckpoint materializes inside that same aggregate (the
+    old shape paid an eager-checkpoint job PLUS a join-based
+    ``limit(1).count()`` job per round).
+
+    ``checkpoint_dir`` selects reliable materialization (parquet
+    round-trip per round via RoundMaterializer): localCheckpoint blocks
+    die with their executor, which would kill a multi-hour 100-TB
+    curation run mid-loop; with a shared-storage dir a lost executor
+    just re-reads (round-3 verdict #2). Superseded rounds are deleted
+    as the loop advances.
 
     Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
     component is the lexicographically-smallest member — the canonical
     document to KEEP when deduping.
     """
-    edges = (
+    from .materialize import RoundMaterializer
+
+    mat = RoundMaterializer(checkpoint_dir)
+    edges = mat(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                   F.col("doc_a").alias("dst")))
-        .distinct()
+        .distinct(),
         # materialize: edges join into EVERY round — without this the
         # whole upstream candidate pipeline (MinHash etc.) re-executes
         # once per round per union branch (measured 2.4× on the dedup
         # scaling suite)
-        .localCheckpoint(eager=True)
+        "edges",
     )
-    labels = (
+    labels = mat(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("doc_id")),
+        "labels_init",
     )
-    for _ in range(max_iters):
+    prev_tag = "labels_init"
+    for i in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -589,29 +613,32 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("component"),
                     F.coalesce("neighbor_component", F.col("component")),
                 ).alias("component"),
+                F.col("component").alias("_prev"),
             )
         )
         # pointer jumping: adopt the label of my label (log-step closure)
         lab2 = stepped.select(F.col("doc_id").alias("_c_doc"),
                               F.col("component").alias("_c_comp"))
-        updated = (
+        updated = mat(
             stepped.join(lab2, stepped.component == F.col("_c_doc"), "left")
             .select(
                 "doc_id",
                 F.least(F.col("component"),
                         F.coalesce("_c_comp", F.col("component"))).alias("component"),
-            )
-            # checkpoint BEFORE the fixpoint check so each round's plan
-            # executes once (review finding: count-then-checkpoint ran
-            # the identical plan twice)
-            .localCheckpoint(eager=True)
+                "_prev",
+            ),
+            f"labels_{i}",
+            # lazy: the convergence aggregate below is the first action,
+            # so compute + persist + check all happen in one job
+            eager=False,
         )
-        changed = (
-            updated.alias("u").join(labels.alias("l"), "doc_id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1).count()
-        )
-        labels = updated
+        changed = updated.agg(
+            F.count(F.when(F.col("component") != F.col("_prev"), F.lit(1)))
+            .alias("n")
+        ).collect()[0]["n"]
+        mat.release(prev_tag)
+        prev_tag = f"labels_{i}"
+        labels = updated.select("doc_id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(

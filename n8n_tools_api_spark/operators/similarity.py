@@ -80,7 +80,8 @@ def ivf_assign(emb: DataFrame, nlist: int = 16,
 
 
 def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Lloyd refinement of the IVF coarse quantizer.
 
     Starting from the deterministic seed centroids (ivf_assign), each
@@ -89,13 +90,22 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
     posexplode(dim, value) → groupBy(cluster, dim) → avg → re-assemble
     sorted by dim — no UDF, shuffles bounded by nlist x dim rows.
     Returns the refined (cluster_id, centroid) set.
+
+    ``checkpoint_dir`` switches the per-round lineage cut from
+    localCheckpoint (executor storage — fast, dies with a lost
+    executor) to a parquet round-trip on shared storage, so a 10^9-
+    vector refinement survives executor loss (round-3 verdict #2; see
+    operators/materialize.py).
     """
+    from .materialize import RoundMaterializer
+
+    mat = RoundMaterializer(checkpoint_dir)
     centroids, assigned = ivf_assign(emb, nlist, id_col, vec_col)
     # each Lloyd iteration nests a crossJoin-over-emb into the lineage;
-    # checkpoint per round so downstream actions don't replay the whole
+    # materialize per round so downstream actions don't replay the whole
     # chain (review finding — mirrors near_dup_components)
-    assigned = assigned.localCheckpoint(eager=True)
-    for _ in range(iters):
+    assigned = mat(assigned, "assign_init")
+    for _i in range(iters):
         dims = (
             assigned.select("cluster_id",
                             F.posexplode(F.col(vec_col).cast("array<double>"))
@@ -103,24 +113,27 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
             .groupBy("cluster_id", "dim")
             .agg(F.avg("v").alias("mean_v"))
         )
-        centroids = (
+        centroids = mat(
             dims.groupBy("cluster_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_v"))).alias("dv"))
             .select("cluster_id",
                     F.transform("dv", lambda x: x["mean_v"].cast("float"))
-                    .alias("centroid"))
-            .localCheckpoint(eager=True)
+                    .alias("centroid")),
+            f"centroids_{_i}",
         )
         scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
             "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
         )
         pick = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("cluster_id"))
-        assigned = (
+        assigned = mat(
             scored.withColumn("_rn", F.row_number().over(pick))
             .where(F.col("_rn") == 1)
-            .drop("_rn", "_score", "centroid")
-            .localCheckpoint(eager=True)
+            .drop("_rn", "_score", "centroid"),
+            f"assign_{_i}",
         )
+        mat.release(f"assign_{_i - 1}" if _i else "assign_init")
+        if _i:
+            mat.release(f"centroids_{_i - 1}")
     return centroids
 
 

@@ -94,3 +94,20 @@ class TestCurationKeepList:
         exact_kept = {d for d, (s, _) in exact_rows.items() if s == "kept"}
         lsh_kept = {d for d, (s, _) in lsh_rows.items() if s == "kept"}
         assert exact_kept <= lsh_kept
+
+    def test_reliable_checkpoint_path_matches_local(self, spark, corpus,
+                                                    exact_rows, tmp_path):
+        """round-3 verdict #2: with checkpoint_dir set, every
+        intermediate (ranked frame, banded LSH, components rounds)
+        round-trips through parquet — output must be identical."""
+        got = {r["doc_id"]: (r["status"], r["canonical"])
+               for r in curation_keep_list(
+                   corpus, use_lsh=True,
+                   checkpoint_dir=str(tmp_path / "ck")).collect()}
+        want = {r["doc_id"]: (r["status"], r["canonical"])
+                for r in curation_keep_list(corpus, use_lsh=True).collect()}
+        assert got == want
+        import os
+
+        entries = set(os.listdir(str(tmp_path / "ck")))
+        assert {"ranked", "banded", "edges"} <= entries

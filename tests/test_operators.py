@@ -567,6 +567,37 @@ class TestNearDupComponents:
         assert clusters["a"] == ["a", "b", "c"]
         assert clusters["m"] == ["m", "n", "o", "p"]
 
+    def test_reliable_checkpoint_path_matches_local(self, spark, tmp_path):
+        """round-3 verdict #2: the parquet-round-trip mode must give
+        byte-identical components, clean up superseded rounds, and
+        leave the returned frame readable after the loop."""
+        import os
+
+        from n8n_tools_api_spark.operators.dedup import near_dup_components
+
+        # 25-doc drifting chain: multiple pointer-jump rounds, so the
+        # loop actually exercises round-file rotation + release
+        chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(24)]
+        pairs = spark.createDataFrame(
+            chain + [("x", "y")], "doc_a string, doc_b string")
+        local = {r["doc_id"]: r["component"]
+                 for r in near_dup_components(pairs).collect()}
+        ck = str(tmp_path / "ck")
+        reliable_df = near_dup_components(pairs, checkpoint_dir=ck)
+        reliable = {r["doc_id"]: r["component"]
+                    for r in reliable_df.collect()}
+        assert reliable == local
+        assert all(v == "c00" for k, v in reliable.items()
+                   if k.startswith("c"))
+        # superseded label rounds are deleted as the loop advances;
+        # edges + the final round's labels are what survives
+        entries = set(os.listdir(ck))
+        assert "edges" in entries
+        label_rounds = {e for e in entries if e.startswith("labels_")}
+        assert 1 <= len(label_rounds) <= 2, entries
+        # the returned frame stays readable (its files were not released)
+        assert reliable_df.count() == len(local)
+
     def test_end_to_end_with_minhash(self, spark):
         from n8n_tools_api_spark.operators.dedup import duplicate_clusters
 
@@ -603,6 +634,20 @@ class TestKMeansRefine:
         assert len(refined.first()["centroid"]) == 64
         # Lloyd iterations must not degrade mean best-assignment quality
         assert mean_best_sim(refined) >= mean_best_sim(seed_centroids) - 1e-9
+
+
+    def test_kmeans_reliable_checkpoint_matches_local(self, spark, sf_dir,
+                                                      tmp_path):
+        from n8n_tools_api_spark.operators.similarity import kmeans_refine
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+        local = {r["cluster_id"]: r["centroid"]
+                 for r in kmeans_refine(emb, nlist=4, iters=2).collect()}
+        reliable = {r["cluster_id"]: r["centroid"]
+                    for r in kmeans_refine(
+                        emb, nlist=4, iters=2,
+                        checkpoint_dir=str(tmp_path / "ck")).collect()}
+        assert reliable == local
 
 
 class TestSimilarity:
