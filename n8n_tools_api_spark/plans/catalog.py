@@ -2004,7 +2004,9 @@ def curation_keep_list(spark, sf_dir):
         .orderBy("doc_id")
 
 
-CURATION_SQL = rf"""
+# Shared CTE chain for the curation replays: clean6 → md5 window dedup
+# → shingle Jaccard w/ df-cap → recursive-CTE closure → keep-list.
+_CURATION_CHAIN_SQL = rf"""
 WITH RECURSIVE corpus AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
   FROM documents WHERE doc_id < 300
@@ -2083,8 +2085,56 @@ final AS (
   UNION ALL
   SELECT doc_id, 'exact_dup', canon FROM ranked WHERE rn > 1
 )
-SELECT doc_id, status, canonical FROM final ORDER BY doc_id
 """
+
+CURATION_SQL = (_CURATION_CHAIN_SQL
+                + "SELECT doc_id, status, canonical FROM final"
+                  " ORDER BY doc_id\n")
+
+
+def curation_agreement(spark, sf_dir):
+    """LSH-TWIN AGREEMENT ORACLE (round-3 verdict #5): the 100-TB
+    curation path (`curation_keep_list(use_lsh=True)` — MinHash-LSH
+    candidate prefilter, rows-only until now) joined row-by-row against
+    the exact flow on the planted corpus, rolled up per exact status as
+    (n_docs, n_status_agree, n_canonical_agree). DuckDB replays the
+    exact chain and compares it with itself, i.e. the oracle row IS the
+    100%-agreement claim: if the LSH prefilter ever drops a planted
+    90%-truncation (every one shares ≥2 bands by construction) or
+    reshapes a component, the Spark rollup diverges and the row goes
+    red. Complements BENCH suite 3, which measures this same twin."""
+    from n8n_tools_api_spark.operators.curation import curation_keep_list as flow
+
+    corpus = _curation_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    exact = flow(corpus, use_lsh=False).select(
+        "doc_id", F.col("status").alias("s_exact"),
+        F.col("canonical").alias("c_exact"))
+    lsh = flow(corpus, use_lsh=True).select(
+        "doc_id", F.col("status").alias("s_lsh"),
+        F.col("canonical").alias("c_lsh"))
+    return (
+        exact.join(lsh, "doc_id")
+        .groupBy(F.col("s_exact").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("s_exact") == F.col("s_lsh"), 1))
+            .cast("bigint").alias("n_status_agree"),
+            F.count(F.when(F.col("c_exact") == F.col("c_lsh"), 1))
+            .cast("bigint").alias("n_canonical_agree"),
+        )
+        .orderBy("status")
+    )
+
+
+CURATION_AGREEMENT_SQL = (_CURATION_CHAIN_SQL + """
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_status_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical_agree
+FROM final
+GROUP BY status
+ORDER BY status
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -2138,4 +2188,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "extract_documents_stats": (extract_documents_stats_q, EXTRACT_STATS_SQL),
     "language_id": (language_id_agreement, LANGUAGE_ID_SQL),
     "lineage_health": (lineage_health, LINEAGE_HEALTH_SQL),
+    "curation_agreement": (curation_agreement, CURATION_AGREEMENT_SQL),
 }
