@@ -227,6 +227,65 @@ def stream_neardup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming curation (streaming/curation_stream.py),
+    batch-twin form: exact-dedup first-claim → LSH near-dup prefilter →
+    periodic batch components stage over the admitted docs. Corpus:
+    documents<200 arriving at minute offsets, plus 50 exact copies
+    (suppressed by stage 1) and 25 90%-truncations (pass the prefilter
+    — only SOME bands collide — and are then caught as near_dups by the
+    periodic components stage, demonstrating the layered design).
+    Buckets are xxhash64-based, so rows-only; stream/twin parity is
+    pinned by tests/test_curation_stream.py and the batch keep-list
+    semantics by the curation_keep_list/curation_agreement oracles."""
+    from n8n_tools_api_spark.streaming import (
+        curation_stream_batch_twin,
+        periodic_components_keep_list,
+    )
+
+    base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 200).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (base_ts + F.make_interval(mins=F.col("doc_id").cast("int")))
+            .alias("event_time"),
+            "text")
+    dups = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 50).select(
+            F.concat(F.lit("dup_"), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            (base_ts + F.make_interval(mins=(F.col("doc_id") + 500).cast("int")))
+            .alias("event_time"),
+            "text")
+    muts = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 25).select(
+            F.concat(F.lit("mut_"), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            (base_ts + F.make_interval(mins=(F.col("doc_id") + 600).cast("int")))
+            .alias("event_time"),
+            F.expr("substring(text, 1, cast(length(text) * 0.9 as int))")
+            .alias("text"))
+    corpus = docs.unionByName(dups).unionByName(muts) \
+        .localCheckpoint(eager=True)
+    staged = curation_stream_batch_twin(corpus)
+    admitted = staged.where(F.col("stage") == "admitted") \
+        .select("doc_id").join(corpus, "doc_id") \
+        .select("doc_id", "text")
+    keep = periodic_components_keep_list(admitted)
+    return (
+        staged.join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.date_format("event_time", "yyyy-MM-dd HH:mm:ss")
+            .alias("event_time"),
+            "stage",
+            F.coalesce("status", F.col("stage")).alias("status"),
+            "canonical",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation flow, the 100-TB path: extract → clean → exact
     dedup → MinHash-LSH candidates → Jaccard scoring (candidates only)
@@ -275,4 +334,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "formatted_documents": formatted_documents,
     "curation_pipeline": curation_pipeline,
     "stream_neardup_prefilter": stream_neardup_prefilter,
+    "stream_curation": stream_curation,
 }

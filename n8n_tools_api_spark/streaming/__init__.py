@@ -1,3 +1,8 @@
+from .curation_stream import (
+    curation_stream,
+    curation_stream_batch_twin,
+    periodic_components_keep_list,
+)
 from .dedup_stream import dedup_batch_twin, dedup_stream, with_content_hash
 from .incremental import incremental_extract
 from .neardup_stream import (
@@ -8,6 +13,9 @@ from .stateful import sessionize_batch, sessionize_stream
 from .windowed import windowed_event_counts_batch, windowed_event_counts_stream
 
 __all__ = [
+    "curation_stream",
+    "curation_stream_batch_twin",
+    "periodic_components_keep_list",
     "dedup_batch_twin",
     "dedup_stream",
     "with_content_hash",

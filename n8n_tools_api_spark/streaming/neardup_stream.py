@@ -70,7 +70,8 @@ def neardup_prefilter_stream(docs: DataFrame,
                              watermark: str = "10 minutes",
                              text_col: str = "text",
                              num_hashes: int = 64, bands: int = 16,
-                             k: int = 5) -> DataFrame:
+                             k: int = 5,
+                             assume_watermarked: bool = False) -> DataFrame:
     """(doc_id, event_time) for every PASSING document, emitted as soon
     as its micro-batch processes.
 
@@ -79,12 +80,16 @@ def neardup_prefilter_stream(docs: DataFrame,
     never appear. Within one micro-batch the bucket claimant is
     arrival-arbitrary (same rule as dedup_stream); across batches,
     earlier micro-batches win.
+
+    ``assume_watermarked=True`` skips the ``withWatermark`` call: Spark
+    forbids REDEFINING a watermark mid-pipeline, so a caller composing
+    this stage downstream of another stateful stage (curation_stream)
+    must set the watermark once upstream and pass True here.
     """
     banded = _banded(docs, event_time_col, text_col, num_hashes, bands, k)
-    novel = (
-        banded.withWatermark(event_time_col, watermark)
-        .dropDuplicatesWithinWatermark(["band", "bucket"])
-    )
+    if not assume_watermarked:
+        banded = banded.withWatermark(event_time_col, watermark)
+    novel = banded.dropDuplicatesWithinWatermark(["band", "bucket"])
     return (
         novel.dropDuplicatesWithinWatermark(["doc_id"])
         .select("doc_id", event_time_col)

@@ -56,7 +56,8 @@ def test_pipeline_queries_run(spark, sf_dir, name):
 # components fixpoint iterates (limit(1).count() per round) and the
 # minhash paths localCheckpoint the banded DF eagerly
 _EAGER_BY_DESIGN = {"near_dup_clusters", "minhash_near_dups",
-                    "curation_pipeline", "ann_recall_evidence"}
+                    "curation_pipeline", "ann_recall_evidence",
+                    "stream_curation"}
 
 
 @pytest.mark.parametrize(
