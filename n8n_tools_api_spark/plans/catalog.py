@@ -1572,6 +1572,202 @@ ORDER BY req_id
 """
 
 
+def url_landing(spark, sf_dir):
+    """URL-LANDING ORACLE (S3's deterministic core, reclaimed from
+    documented-n/a): the reference's post-download classification —
+    filename derivation, gate order, extension → content-type → magic
+    type ladder, magic validation, exact messages
+    (ocr_utils.py:257-371) — as the pure-column-expression
+    operators/landing.py plan over a deterministic request corpus.
+    The 12 branches plant every disposition, including the reference's
+    quirks: the extensionless-PNG → 'Invalid PDF' rejection, the
+    hidden-file '.pdf' path that makes the ladder reachable
+    ('.pdf.pdf'), and the sniff path labeling JPEG bytes 'jpg' while
+    the extension path says 'jpeg'. DuckDB independently replays the
+    whole ladder on hex strings."""
+    from n8n_tools_api_spark.operators.landing import url_landing_plan
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    m = (F.col("doc_id") % 12).cast("int")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://cdn.example.com/docs/f"), did,
+                                F.lit(".pdf?sig=1")))
+        .when(m == 1, F.concat(F.lit("https://img.example.com/i"), did,
+                               F.lit(".png")))
+        .when(m == 2, F.concat(F.lit("https://h.example.com/photos/p"), did,
+                               F.lit(".JPG")))
+        .when(m == 3, F.concat(F.lit("https://h.example.com/scans/t"), did,
+                               F.lit(".tiff")))
+        .when(m == 4, F.concat(F.lit("https://dl.example.com/report"), did))
+        .when(m == 5, F.concat(F.lit("https://dl.example.com/x"), did))
+        .when(m == 6, F.concat(F.lit("https://h.example.com/a"), did,
+                               F.lit(".pdf")))
+        .when(m == 7, F.concat(F.lit("https://h.example.com/big"), did,
+                               F.lit(".pdf")))
+        .when(m == 8, F.concat(F.lit("https://h.example.com/empty"), did,
+                               F.lit(".png")))
+        .when(m == 9, F.concat(F.lit("https://h.example.com/d"), did,
+                               F.lit("/.pdf")))
+        .when(m == 10, F.concat(F.lit("https://h.example.com/d"), did,
+                                F.lit("/.png")))
+        .otherwise(F.concat(F.lit("https://h.example.com/d"), did,
+                            F.lit("/.tiff")))
+    )
+    status = F.when(m == 6, 404).otherwise(200).cast("int")
+    ct = (
+        F.when(m.isin(0, 4, 7, 9), "application/pdf")
+        .when(m.isin(1, 8), "image/png")
+        .when(m == 2, "image/jpeg")
+        .when(m.isin(5, 10), "application/octet-stream")
+        .when(m == 11, "text/plain")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    clh = (
+        F.when(m == 1, 2048)
+        .when(m == 7, 62914560)
+        .otherwise(F.lit(None)).cast("bigint")
+    )
+    hexp = (
+        F.when(m == 0, "255044462D312E34")
+        .when(m.isin(1, 5), "89504E470D0A1A0A00")
+        .when(m == 2, "FFD8FFE0")
+        .when(m == 3, "4D4D002A00")
+        .when(m.isin(4, 6, 7, 9), "25504446")
+        .when(m == 8, "")
+        .when(m == 10, "FFD8FFDB")
+        .otherwise("DEADBEEF")
+    )
+    reqs = docs.select(
+        url.alias("url"), status.alias("http_status"),
+        ct.alias("content_type"), clh.alias("content_length_header"),
+        F.unhex(hexp).alias("payload"),
+    )
+    return url_landing_plan(reqs).orderBy("url")
+
+
+# Independent DuckDB replay of the classification ladder on hex
+# strings (ocr_utils.py:272-343 semantics incl. splitext's leading-dot
+# rule; 52428800 = MAX_FILE_SIZE).
+URL_LANDING_SQL = r"""
+WITH reqs AS (
+  SELECT
+    CASE m
+      WHEN 0 THEN 'https://cdn.example.com/docs/f' || d || '.pdf?sig=1'
+      WHEN 1 THEN 'https://img.example.com/i' || d || '.png'
+      WHEN 2 THEN 'https://h.example.com/photos/p' || d || '.JPG'
+      WHEN 3 THEN 'https://h.example.com/scans/t' || d || '.tiff'
+      WHEN 4 THEN 'https://dl.example.com/report' || d
+      WHEN 5 THEN 'https://dl.example.com/x' || d
+      WHEN 6 THEN 'https://h.example.com/a' || d || '.pdf'
+      WHEN 7 THEN 'https://h.example.com/big' || d || '.pdf'
+      WHEN 8 THEN 'https://h.example.com/empty' || d || '.png'
+      WHEN 9 THEN 'https://h.example.com/d' || d || '/.pdf'
+      WHEN 10 THEN 'https://h.example.com/d' || d || '/.png'
+      ELSE 'https://h.example.com/d' || d || '/.tiff' END AS url,
+    CASE WHEN m = 6 THEN 404 ELSE 200 END AS status,
+    CASE WHEN m IN (0, 4, 7, 9) THEN 'application/pdf'
+         WHEN m IN (1, 8) THEN 'image/png'
+         WHEN m = 2 THEN 'image/jpeg'
+         WHEN m IN (5, 10) THEN 'application/octet-stream'
+         WHEN m = 11 THEN 'text/plain' END AS ct,
+    CASE WHEN m = 1 THEN 2048 WHEN m = 7 THEN 62914560 END AS clh,
+    CASE m
+      WHEN 0 THEN '255044462D312E34'
+      WHEN 1 THEN '89504E470D0A1A0A00'
+      WHEN 2 THEN 'FFD8FFE0'
+      WHEN 3 THEN '4D4D002A00'
+      WHEN 5 THEN '89504E470D0A1A0A00'
+      WHEN 8 THEN ''
+      WHEN 10 THEN 'FFD8FFDB'
+      WHEN 11 THEN 'DEADBEEF'
+      ELSE '25504446' END AS hexp
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS d, CAST(doc_id % 12 AS INT) AS m
+        FROM documents WHERE doc_id < 240)
+),
+parsed AS (
+  SELECT *,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+      AS path
+  FROM reqs
+),
+f1 AS (
+  SELECT *, CASE WHEN lower(b) LIKE '%.pdf' OR lower(b) LIKE '%.png'
+                   OR lower(b) LIKE '%.jpg' OR lower(b) LIKE '%.jpeg'
+                   OR lower(b) LIKE '%.tiff'
+                 THEN b ELSE b || '.pdf' END AS fname1
+  FROM (SELECT *,
+          COALESCE(NULLIF(regexp_extract(path, '([^/]*)$', 1), ''),
+                   'remote_document') AS b
+        FROM parsed)
+),
+typed AS (
+  SELECT *, CASE WHEN e IN ('.jpg', '.jpeg') THEN 'jpeg'
+                 WHEN e = '.png' THEN 'png'
+                 WHEN e = '.tiff' THEN 'tiff'
+                 WHEN e = '.pdf' THEN 'pdf'
+                 ELSE 'unknown' END AS ext_type
+  FROM (SELECT *,
+          lower(regexp_extract(regexp_replace(fname1, '^\.+', ''),
+                               '(\.[^.]*)$', 1)) AS e
+        FROM f1)
+),
+laddered AS (
+  SELECT *,
+    CASE WHEN ext_type != 'unknown' THEN ext_type ELSE ladder_type END
+      AS ftype,
+    CASE WHEN ext_type = 'unknown' AND ladder_type != 'unknown'
+         THEN fname1 || '.' ||
+              CASE WHEN ladder_type = 'jpeg' THEN 'jpg'
+                   ELSE ladder_type END
+         ELSE fname1 END AS fname2
+  FROM (SELECT *,
+          CASE WHEN ctl LIKE '%pdf%' THEN 'pdf'
+               WHEN ctl LIKE '%png%' THEN 'png'
+               WHEN ctl LIKE '%jpeg%' OR ctl LIKE '%jpg%' THEN 'jpeg'
+               WHEN ctl LIKE '%tiff%' THEN 'tiff'
+               WHEN starts_with(hexp, '25504446') THEN 'pdf'
+               WHEN starts_with(hexp, '89504E470D0A1A0A') THEN 'png'
+               WHEN starts_with(hexp, 'FFD8FF') THEN 'jpg'
+               WHEN starts_with(hexp, '49492A00')
+                 OR starts_with(hexp, '4D4D002A') THEN 'tiff'
+               ELSE 'unknown' END AS ladder_type
+        FROM (SELECT *, lower(COALESCE(ct, '')) AS ctl FROM typed))
+),
+checked AS (
+  SELECT *,
+    CASE WHEN status != 200
+         THEN 'Failed to download file: HTTP ' || status
+         WHEN clh IS NOT NULL AND clh > 52428800
+         THEN 'Remote file too large. Max size: 50.0MB'
+         WHEN len(hexp) / 2 > 52428800
+         THEN 'Remote file too large. Max size: 50.0MB'
+         WHEN len(hexp) = 0 THEN 'Empty file downloaded from URL'
+         WHEN ftype != 'unknown' AND NOT (
+              CASE WHEN ftype = 'pdf' THEN starts_with(hexp, '25504446')
+                   WHEN ftype = 'png' THEN starts_with(hexp, '89504E470D0A1A0A')
+                   WHEN ftype IN ('jpg', 'jpeg') THEN starts_with(hexp, 'FFD8FF')
+                   WHEN ftype = 'tiff' THEN starts_with(hexp, '49492A00')
+                     OR starts_with(hexp, '4D4D002A')
+                   ELSE FALSE END)
+         THEN 'Invalid ' || upper(ftype)
+              || ' file format - incorrect file signature'
+         WHEN ftype = 'unknown'
+         THEN 'Unable to determine file type from URL' END AS reason,
+    (status != 200 OR (clh IS NOT NULL AND clh > 52428800)
+     OR len(hexp) / 2 > 52428800 OR len(hexp) = 0) AS pre_reject
+  FROM laddered
+)
+SELECT url,
+       CASE WHEN pre_reject THEN fname1 ELSE fname2 END AS filename,
+       CASE WHEN pre_reject THEN 'unknown' ELSE ftype END AS file_type,
+       CASE WHEN reason IS NULL THEN 'accept' ELSE 'reject' END AS action,
+       reason
+FROM checked
+ORDER BY url
+"""
+
+
 def lineage_health(spark, sf_dir):
     """The A9/O3 health-score model (error_metrics.py:421-458 weighted
     score + 5-tier status, :460-520 fixed-priority recommendations,
@@ -2189,4 +2385,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "language_id": (language_id_agreement, LANGUAGE_ID_SQL),
     "lineage_health": (lineage_health, LINEAGE_HEALTH_SQL),
     "curation_agreement": (curation_agreement, CURATION_AGREEMENT_SQL),
+    "url_landing": (url_landing, URL_LANDING_SQL),
 }

@@ -535,10 +535,20 @@ Config: AQE on (coalesce + skewJoin), Arrow on
                     seg = seg[:min(stops)]
                 merged[key] = marker + seg.rstrip() + "\n"
     merged.update(fresh)
+    # addendum sections ("## Round-N addendum — ...") appended after the
+    # Config block carry hand-measured evidence (job counts, regression
+    # root-causes) — preserve them across reruns
+    addenda = ""
+    if os.path.exists(path):
+        tail = old.split("\nConfig:", 1)
+        if len(tail) == 2 and "\n## " in tail[1]:
+            addenda = "\n## " + tail[1].split("\n## ", 1)[1]
+            if not addenda.endswith("\n"):
+                addenda += "\n"
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     body = "\n".join(merged[k] for k in suite_order if k in merged)
     with open(path, "w") as f:
-        f.write(header + body + config)
+        f.write(header + body + config + addenda)
     print(json.dumps(results))
 
 
