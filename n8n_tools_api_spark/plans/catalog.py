@@ -1768,6 +1768,119 @@ ORDER BY url
 """
 
 
+def media_resize_plan(spark, sf_dir):
+    """MULTIMODAL RESIZE ORACLE: the REAL stdlib PNG header codec
+    (operators/multimodal.py — struct-parsed IHDR) under the fit-in-box
+    resize plan, cross-checked end-to-end: the corpus is genuine PNG
+    headers BUILT IN-QUERY (dims/color type derived from doc_id, hex →
+    unhex), Spark decodes them with the actual mapInPandas codec, and
+    DuckDB computes the expected dims/channels/scale closed-form from
+    the same doc_id arithmetic — so a codec regression (byte offsets,
+    endianness, the color-type channel map) breaks the hash."""
+    from n8n_tools_api_spark.operators.multimodal import (
+        decode_media,
+        resize_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    w = (64 + (F.col("doc_id") * 37) % 1200).cast("bigint")
+    h = (48 + (F.col("doc_id") * 53) % 900).cast("bigint")
+    color = F.element_at(F.array(F.lit(0), F.lit(2), F.lit(3), F.lit(4),
+                                 F.lit(6)),
+                         (F.col("doc_id") % 5 + 1).cast("int"))
+    payload_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"),
+        F.lit("08"), F.lpad(F.hex(color), 2, "0"),
+        F.lit("00000000000000"),
+    )
+    assets = docs.select(
+        F.concat(F.lit("m"),
+                 F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+        .alias("media_key"),
+        F.lit("image").alias("kind"),
+        F.unhex(payload_hex).alias("media_bytes"),
+    )
+    return resize_plan(decode_media(assets), max_width=512,
+                       max_height=512).orderBy("media_key")
+
+
+# Closed-form replay: dims/channels from the doc_id arithmetic the
+# Spark side encoded into real PNG headers; resize math in the same
+# expression order (scale = least(1, 512/w, 512/h), floor + 1px guard).
+MEDIA_RESIZE_SQL = """
+WITH dims AS (
+  SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS media_key,
+         CAST(64 + (doc_id * 37) % 1200 AS INT) AS width,
+         CAST(48 + (doc_id * 53) % 900 AS INT) AS height,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
+           WHEN 3 THEN 2 ELSE 4 END AS n_channels
+  FROM documents WHERE doc_id < 300
+),
+scaled AS (
+  SELECT *, LEAST(1.0, 512.0 / width, 512.0 / height) AS scale FROM dims
+)
+SELECT media_key, 'image' AS kind, width, height, n_channels,
+       CAST(GREATEST(1, floor(width * scale)) AS INT) AS out_width,
+       CAST(GREATEST(1, floor(height * scale)) AS INT) AS out_height,
+       round(scale * 100, 4) AS scale_pct,
+       scale < 1.0 AS resized
+FROM scaled
+ORDER BY media_key
+"""
+
+
+def media_frame_samples(spark, sf_dir):
+    """MULTIMODAL FRAME-SAMPLE ORACLE: the frame-sampling plan
+    (operators/multimodal.py::sample_frames — documented deterministic
+    duration fake at 1024 B/s, real 1/fps sampling grid with a
+    max_frames cap) over audio/video payloads built in-query; DuckDB
+    replays duration → frame count → timestamps closed-form, including
+    the cap's frames_dropped accounting."""
+    from n8n_tools_api_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n_bytes = (256 + (F.col("doc_id") * 97) % 16384).cast("int")
+    assets = docs.select(
+        F.concat(F.lit("m"),
+                 F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+        .alias("media_key"),
+        F.when(F.col("doc_id") % 2 == 0, "video").otherwise("audio")
+        .alias("kind"),
+        F.unhex(F.repeat(F.lit("AB"), n_bytes)).alias("media_bytes"),
+    )
+    return sample_frames(assets, fps=2.0, max_frames=16,
+                         bytes_per_second=1024) \
+        .orderBy("media_key", "frame_idx")
+
+
+MEDIA_FRAMES_SQL = """
+WITH assets AS (
+  SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS media_key,
+         CASE WHEN doc_id % 2 = 0 THEN 'video' ELSE 'audio' END AS kind,
+         CAST(256 + (doc_id * 97) % 16384 AS INT) AS n_bytes
+  FROM documents WHERE doc_id < 200
+),
+counted AS (
+  SELECT *,
+         CAST(floor(n_bytes / 1024.0 * 1000 / 1000 * 2.0) AS INT) + 1
+           AS n_total
+  FROM assets
+),
+kept AS (
+  SELECT *, LEAST(16, n_total) AS n_kept FROM counted
+)
+SELECT media_key, kind,
+       CAST(unnest(generate_series(0, n_kept - 1)) AS INT) AS frame_idx,
+       round(CAST(unnest(generate_series(0, n_kept - 1)) AS INT)
+             / 2.0 * 1000, 4) AS ts_ms,
+       CAST(n_total - n_kept AS INT) AS frames_dropped
+FROM kept
+ORDER BY media_key, frame_idx
+"""
+
+
 def lineage_health(spark, sf_dir):
     """The A9/O3 health-score model (error_metrics.py:421-458 weighted
     score + 5-tier status, :460-520 fixed-priority recommendations,
@@ -2386,4 +2499,6 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "lineage_health": (lineage_health, LINEAGE_HEALTH_SQL),
     "curation_agreement": (curation_agreement, CURATION_AGREEMENT_SQL),
     "url_landing": (url_landing, URL_LANDING_SQL),
+    "media_resize_plan": (media_resize_plan, MEDIA_RESIZE_SQL),
+    "media_frame_samples": (media_frame_samples, MEDIA_FRAMES_SQL),
 }

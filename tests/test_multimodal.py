@@ -122,6 +122,53 @@ class TestRealDecode:
         assert _decode_one(bad) == _fake_decode(bad)
 
 
+class TestResizeAndFrames:
+    def test_resize_plan_fit_in_box_never_upscales(self, spark):
+        from n8n_tools_api_spark.operators.multimodal import resize_plan
+
+        decoded = spark.createDataFrame(
+            [("big", "image", 2048, 1024, 3, 1),
+             ("small", "image", 100, 50, 4, 2),
+             ("tall", "image", 10, 4000, 1, 3)],
+            "media_key string, kind string, width int, height int, "
+            "n_channels int, feature_hash bigint",
+        )
+        out = {r["media_key"]: r
+               for r in resize_plan(decoded, 512, 512).collect()}
+        assert (out["big"]["out_width"], out["big"]["out_height"]) == (512, 256)
+        assert out["big"]["resized"] is True
+        # never upscale: small stays at native size, scale 100%
+        assert (out["small"]["out_width"], out["small"]["out_height"]) == (100, 50)
+        assert out["small"]["scale_pct"] == 100.0
+        assert out["small"]["resized"] is False
+        # extreme aspect: the 1px floor-guard holds
+        assert out["tall"]["out_height"] == 512
+        assert out["tall"]["out_width"] == 1
+
+    def test_sample_frames_cap_and_accounting(self, spark):
+        from n8n_tools_api_spark.operators.multimodal import sample_frames
+
+        assets = spark.createDataFrame(
+            [("v_long", "video", bytearray(b"x" * 20480)),   # 20 s fake
+             ("a_short", "audio", bytearray(b"x" * 512)),    # 0.5 s
+             ("img", "image", bytearray(b"x" * 4096))],      # filtered out
+            "media_key string, kind string, media_bytes binary",
+        )
+        rows = sample_frames(assets, fps=2.0, max_frames=16,
+                             bytes_per_second=1024).collect()
+        by_key: dict[str, list] = {}
+        for r in rows:
+            by_key.setdefault(r["media_key"], []).append(r)
+        assert "img" not in by_key  # images never enter the frame grid
+        # 20 s at 2 fps = 41 grid points, capped at 16, 25 dropped
+        longs = sorted(by_key["v_long"], key=lambda r: r["frame_idx"])
+        assert len(longs) == 16
+        assert all(r["frames_dropped"] == 25 for r in longs)
+        assert [r["ts_ms"] for r in longs[:3]] == [0.0, 500.0, 1000.0]
+        shorts = by_key["a_short"]
+        assert len(shorts) == 2 and shorts[0]["frames_dropped"] == 0
+
+
 class TestDecodeMediaStage:
     def test_real_dims_flow_through_mapinpandas(self, spark):
         rows = [
