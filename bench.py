@@ -85,7 +85,7 @@ def main() -> None:
         "q10_returned_items", "customer_acctbal_rank", "nation_revenue_rollup",
         "events_daily", "doc_token_counts", "doc_quality_scores",
         "exact_dedup_stats", "cosine_topk", "formatted_fingerprints",
-        "curation_keep_list",
+        "curation_keep_list", "lineage_health", "url_landing",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
