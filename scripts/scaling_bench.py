@@ -43,6 +43,9 @@ N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
 REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 2  # per round; 3 rounds interleaved
 SUITE = sys.argv[3] if len(sys.argv) > 3 else "all"
 DEDUP_REPLICAS = int(os.environ.get("BENCH_DEDUP_REPLICAS", "48"))
+# interleaved rounds per suite (3 = most noise-robust; 2 halves the
+# wall cost for big-corpus reruns in an already-quiet window)
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
 
 EXTRACT_JOB = r"""
 import json, os, sys, time
@@ -278,13 +281,13 @@ def run_hw_control(env: dict) -> dict:
 
 
 def interleaved(job: str, extra_env: dict | None = None,
-                rounds: int = 3) -> dict[int, dict]:
+                rounds: int | None = None) -> dict[int, dict]:
     # interleave levels across rounds: this VM has minutes-long
     # noisy-neighbor windows, so consecutive repeats of one level all
     # land in the same window — alternating levels and keeping the
     # per-level best is the noise-robust lower-bound estimator
     best: dict[int, dict] = {}
-    for _round in range(rounds):
+    for _round in range(ROUNDS if rounds is None else rounds):
         for cpus in (2, 8, 32):
             res = run_level(job, cpus, extra_env)
             if cpus not in best or res["docs_per_sec"] > best[cpus]["docs_per_sec"]:
