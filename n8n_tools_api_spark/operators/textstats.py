@@ -72,3 +72,116 @@ def clean_text(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _clean_batches, schema=CLEAN_SCHEMA
     )
+
+
+def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Repetition metrics + quality gates from the Gopher curation
+    rules (Rae et al., "Scaling Language Models: Methods, Analysis &
+    Insights from Training Gopher", 2021, Appendix A1.1 — public
+    filter heuristics used by most large-scale text pipelines).
+
+    Per document:
+
+    * ``dup_line_frac`` — occurrences of a (non-blank, trimmed) line
+      beyond its first / total lines (the NeMo-Curator-style public
+      reading of the paper's "fraction of lines duplicated");
+    * ``dup_line_char_frac`` — characters in those beyond-first
+      occurrences / total line characters (same exclusion rule, so the
+      two metrics agree on what counts as "duplicated");
+    * ``top2gram_char_frac`` / ``top3gram_char_frac`` — characters
+      covered by the single most frequent REPEATED word 2-/3-gram
+      (count × gram length / total text chars; grams occurring once
+      are not repetition, so docs with no repeated gram score 0 —
+      without this floor the gate misfires on short documents), ties
+      broken by lexicographic gram so the result is
+      partition-independent;
+    * the paper's gates: dup_line_frac > 0.30, top-2-gram > 0.20,
+      top-3-gram > 0.18 → ``gopher_keep`` false.
+
+    Shape: line and n-gram streams explode and aggregate keyed by
+    (doc_id, line|gram) — map-side combined, no global key, so the
+    shuffle stays proportional to corpus size and skew-free at 100 TB.
+    Exact values are DuckDB-replayed by the ``gopher_repetition``
+    oracle (plans/catalog.py).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       text.alias("_t"),
+                       F.length(text).alias("total_chars"))
+
+    lines = base.select(
+        "doc_id",
+        F.explode(F.filter(
+            F.transform(F.split(F.col("_t"), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"), F.length("line").alias("len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+            .alias("dup_lines"),
+            F.sum(F.col("cnt") * F.col("len")).alias("line_chars"),
+            F.sum(F.when(F.col("cnt") > 1,
+                         (F.col("cnt") - 1) * F.col("len"))
+                  .otherwise(0)).alias("dup_line_chars"),
+        )
+    )
+
+    def top_gram(n: int, out: str) -> DataFrame:
+        words = F.filter(F.split(F.trim(F.col("_t")), r"\s+"),
+                         lambda x: x != "")
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = base.select("doc_id", "total_chars",
+                               F.explode(grams).alias("gram"))
+        counted = exploded.groupBy("doc_id", "total_chars", "gram") \
+            .agg(F.count("*").alias("cnt")) \
+            .where(F.col("cnt") >= 2)
+        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+        return (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                F.round(F.col("cnt") * F.length("gram")
+                        / F.col("total_chars"), 6).alias(out),
+            )
+        )
+
+    out = (
+        base.select("doc_id", "total_chars")
+        .join(line_stats, "doc_id", "left")
+        .join(top_gram(2, "top2gram_char_frac"), "doc_id", "left")
+        .join(top_gram(3, "top3gram_char_frac"), "doc_id", "left")
+    )
+    dup_line_frac = F.round(
+        F.coalesce(F.col("dup_lines") / F.col("n_lines"), F.lit(0.0)), 6)
+    dup_char_frac = F.round(
+        F.coalesce(F.col("dup_line_chars") / F.col("line_chars"),
+                   F.lit(0.0)), 6)
+    t2 = F.coalesce("top2gram_char_frac", F.lit(0.0))
+    t3 = F.coalesce("top3gram_char_frac", F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        t2.alias("top2gram_char_frac"),
+        t3.alias("top3gram_char_frac"),
+        (
+            (dup_line_frac <= 0.30) & (t2 <= 0.20) & (t3 <= 0.18)
+        ).alias("gopher_keep"),
+    )

@@ -1881,6 +1881,130 @@ ORDER BY media_key, frame_idx
 """
 
 
+def gopher_repetition_q(spark, sf_dir):
+    """GOPHER-REPETITION ORACLE: the Rae et al. 2021 (Appendix A1.1)
+    repetition filters — duplicate-line fraction/char-fraction and
+    top-2/3-gram char coverage with the paper's gates — over
+    documents<300 plus planted pathological docs: 30 ``rep_`` docs
+    (one 40-char line repeated 5×, unique tail → dup_line_frac 4/6)
+    and 20 ``gram_`` docs ('spam ham '×40 → top-2-gram ≈0.85). DuckDB
+    replays lines/grams/windows exactly (same trim and \\s+ split,
+    ties broken (count DESC, gram ASC))."""
+    from n8n_tools_api_spark.operators.textstats import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 300).select(
+        did.alias("doc_id"), "text")
+    line40 = F.regexp_replace(F.substring(F.col("text"), 1, 40), "\n", " ")
+    rep = docs.where(F.col("doc_id") < 30).select(
+        F.concat(F.lit("rep_"), did).alias("doc_id"),
+        F.concat(F.repeat(F.concat(line40, F.lit("\n")), 5),
+                 F.lit("tail "), did).alias("text"))
+    gram = docs.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("gram_"), did).alias("doc_id"),
+        F.concat(F.repeat(F.lit("spam ham "), 40), F.lit("unique"), did)
+        .alias("text"))
+    corpus = base.unionByName(rep).unionByName(gram)
+    return gopher_repetition(corpus).orderBy("doc_id")
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, COALESCE(text, '') AS text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'rep_' || CAST(doc_id AS VARCHAR),
+         COALESCE(repeat(regexp_replace(substring(text, 1, 40), '\n', ' ')
+                         || chr(10), 5)
+                  || 'tail ' || CAST(doc_id AS VARCHAR), '')
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT 'gram_' || CAST(doc_id AS VARCHAR),
+         repeat('spam ham ', 40) || 'unique' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 20
+),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM corpus, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE trim(l) != ''
+),
+line_groups AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+           AS dup_lines,
+         CAST(SUM(cnt * len) AS BIGINT) AS line_chars,
+         CAST(SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * len ELSE 0 END)
+              AS BIGINT) AS dup_line_chars
+  FROM line_groups GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, length(text) AS total_chars,
+         [w for w in regexp_split_to_array(trim(text), '\s+') if w != '']
+           AS ws
+  FROM corpus
+),
+g2 AS (
+  SELECT doc_id, total_chars,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+           [array_to_string(ws[i:i+1], ' ')
+            for i in generate_series(1, len(ws) - 1)]
+         ELSE [] END) AS gram
+  FROM words
+),
+g2top AS (
+  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top2
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
+              FROM g2 GROUP BY doc_id, total_chars, gram
+              HAVING COUNT(*) >= 2))
+  WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, total_chars,
+         unnest(CASE WHEN len(ws) >= 3 THEN
+           [array_to_string(ws[i:i+2], ' ')
+            for i in generate_series(1, len(ws) - 2)]
+         ELSE [] END) AS gram
+  FROM words
+),
+g3top AS (
+  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top3
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
+              FROM g3 GROUP BY doc_id, total_chars, gram
+              HAVING COUNT(*) >= 2))
+  WHERE rn = 1
+),
+joined AS (
+  SELECT c.doc_id,
+         COALESCE(n_lines, 0) AS n_lines,
+         round(COALESCE(CAST(dup_lines AS DOUBLE) / n_lines, 0), 6)
+           AS dup_line_frac,
+         round(COALESCE(CAST(dup_line_chars AS DOUBLE) / line_chars, 0), 6)
+           AS dup_line_char_frac,
+         COALESCE(top2, 0.0) AS top2gram_char_frac,
+         COALESCE(top3, 0.0) AS top3gram_char_frac
+  FROM corpus c
+  LEFT JOIN line_stats USING (doc_id)
+  LEFT JOIN g2top USING (doc_id)
+  LEFT JOIN g3top USING (doc_id)
+)
+SELECT *,
+       (dup_line_frac <= 0.30 AND top2gram_char_frac <= 0.20
+        AND top3gram_char_frac <= 0.18) AS gopher_keep
+FROM joined
+ORDER BY doc_id
+"""
+
+
 def lineage_health(spark, sf_dir):
     """The A9/O3 health-score model (error_metrics.py:421-458 weighted
     score + 5-tier status, :460-520 fixed-priority recommendations,
@@ -2501,4 +2625,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "url_landing": (url_landing, URL_LANDING_SQL),
     "media_resize_plan": (media_resize_plan, MEDIA_RESIZE_SQL),
     "media_frame_samples": (media_frame_samples, MEDIA_FRAMES_SQL),
+    "gopher_repetition": (gopher_repetition_q, GOPHER_REPETITION_SQL),
 }
