@@ -49,21 +49,6 @@ def _hex_prefix(payload: Column, n: int) -> Column:
     return F.upper(F.hex(F.substring(payload, 1, n)))
 
 
-def _magic_ok(payload: Column, file_type: Column) -> Column:
-    checks = [
-        (F.lit(t), reduce(lambda a, b: a | b,
-                          [_hex_prefix(payload, len(h) // 2) == h
-                           for h in hexes]))
-        for t, _, hexes in _SNIFF
-    ]
-    out = F.lit(False)
-    for t, ok in checks:
-        out = F.when(file_type == t, ok).otherwise(out)
-    # 'jpeg' validates with the jpg signature (MAGIC_BYTES aliases both)
-    return F.when(file_type == "jpeg",
-                  _hex_prefix(payload, 3) == "FFD8FF").otherwise(out)
-
-
 def url_landing_plan(requests: DataFrame,
                      url_col: str = "url") -> DataFrame:
     """(url, filename, file_type, action, reason) per landed fetch.
@@ -73,37 +58,63 @@ def url_landing_plan(requests: DataFrame,
     the server sent none; payload NULL ≡ empty). Check order, ladder,
     and messages mirror refsem/landing.py / ocr_utils.py:272-343 —
     including the hidden-file quirk that makes the ladder reachable.
+
+    Built as STAGED selects: the magic-prefix comparisons, the parsed
+    path, and the type ladder are each computed once and referenced as
+    attributes downstream. The first (fully-inlined) formulation
+    re-expanded the shared subtrees combinatorially — a 323 KB plan
+    tree costing ~4 s of driver-side analysis per call for 240 rows
+    (bench finding); this shape is ~30× smaller and analysis-cheap.
     """
     url = F.col(url_col)
-    payload = F.coalesce(F.col("payload"), F.lit(b""))
+    pay = F.coalesce(F.col("payload"), F.lit(b""))
     # urlparse path: strip scheme://authority, stop at query/fragment
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    basename = F.element_at(F.split(path, "/"), -1)
-    fname0 = F.when(basename == "", "remote_document").otherwise(basename)
+    s1 = requests.select(
+        url.alias("url"), "http_status", "content_type",
+        "content_length_header",
+        F.length(pay).alias("_n_bytes"),
+        F.element_at(F.split(path, "/"), -1).alias("_base"),
+        (_hex_prefix(pay, 4) == "25504446").alias("_m_pdf"),
+        (_hex_prefix(pay, 8) == "89504E470D0A1A0A").alias("_m_png"),
+        (_hex_prefix(pay, 3) == "FFD8FF").alias("_m_jpg"),
+        ((_hex_prefix(pay, 4) == "49492A00")
+         | (_hex_prefix(pay, 4) == "4D4D002A")).alias("_m_tiff"),
+    )
+
+    fname0 = F.when(F.col("_base") == "", "remote_document") \
+        .otherwise(F.col("_base"))
+    s2 = s1.withColumn("_fname0", fname0)
     has_allowed = reduce(
         lambda a, b: a | b,
-        [F.lower(fname0).endswith(ext) for ext in OCR_ALLOWED_EXTENSIONS])
-    fname1 = F.when(has_allowed, fname0) \
-        .otherwise(F.concat(fname0, F.lit(".pdf")))
+        [F.lower(F.col("_fname0")).endswith(ext)
+         for ext in OCR_ALLOWED_EXTENSIONS])
+    s3 = s2.withColumn(
+        "_fname1",
+        F.when(has_allowed, F.col("_fname0"))
+        .otherwise(F.concat(F.col("_fname0"), F.lit(".pdf"))),
+    )
 
     # os.path.splitext: suffix from the last dot, unless every char
     # before it is itself a dot (leading dots are part of the name)
-    stripped = F.regexp_replace(fname1, r"^\.+", "")
-    ext = F.lower(F.regexp_extract(stripped, r"(\.[^.]*)$", 1))
+    stripped = F.regexp_replace(F.col("_fname1"), r"^\.+", "")
+    s4 = s3.withColumn(
+        "_ext", F.lower(F.regexp_extract(stripped, r"(\.[^.]*)$", 1)))
     ext_type = (
-        F.when(ext.isin(".jpg", ".jpeg"), "jpeg")
-        .when(ext == ".png", "png")
-        .when(ext == ".tiff", "tiff")
-        .when(ext == ".pdf", "pdf")
+        F.when(F.col("_ext").isin(".jpg", ".jpeg"), "jpeg")
+        .when(F.col("_ext") == ".png", "png")
+        .when(F.col("_ext") == ".tiff", "tiff")
+        .when(F.col("_ext") == ".pdf", "pdf")
         .otherwise("unknown")
     )
-
     ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
-    sniffed = F.lit("unknown")
-    for t, _, hexes in reversed(_SNIFF):
-        ok = reduce(lambda a, b: a | b,
-                    [_hex_prefix(payload, len(h) // 2) == h for h in hexes])
-        sniffed = F.when(ok, F.lit(t)).otherwise(sniffed)
+    sniffed = (
+        F.when(F.col("_m_pdf"), "pdf")
+        .when(F.col("_m_png"), "png")
+        .when(F.col("_m_jpg"), "jpg")
+        .when(F.col("_m_tiff"), "tiff")
+        .otherwise("unknown")
+    )
     ladder_type = (
         F.when(ct.contains("pdf"), "pdf")
         .when(ct.contains("png"), "png")
@@ -111,19 +122,36 @@ def url_landing_plan(requests: DataFrame,
         .when(ct.contains("tiff"), "tiff")
         .otherwise(sniffed)
     )
-    ladder_ext = (
-        F.when(ladder_type == "jpeg", "jpg")
-        .when(ladder_type == "unknown", F.lit(None).cast("string"))
-        .otherwise(ladder_type)
+    s5 = s4.withColumn("_ext_type", ext_type) \
+        .withColumn("_ladder_type", ladder_type)
+    s6 = s5.withColumn(
+        "_file_type",
+        F.when(F.col("_ext_type") != "unknown", F.col("_ext_type"))
+        .otherwise(F.col("_ladder_type")),
     )
-    file_type = F.when(ext_type != "unknown", ext_type).otherwise(ladder_type)
-    fname2 = F.when(
-        (ext_type == "unknown") & ladder_ext.isNotNull(),
-        F.concat(fname1, F.lit("."), ladder_ext),
-    ).otherwise(fname1)
+    ladder_ext = (
+        F.when(F.col("_ladder_type") == "jpeg", "jpg")
+        .when(F.col("_ladder_type") == "unknown",
+              F.lit(None).cast("string"))
+        .otherwise(F.col("_ladder_type"))
+    )
+    s7 = s6.withColumn(
+        "_fname2",
+        F.when(
+            (F.col("_ext_type") == "unknown") & ladder_ext.isNotNull(),
+            F.concat(F.col("_fname1"), F.lit("."), ladder_ext),
+        ).otherwise(F.col("_fname1")),
+    )
 
-    n_bytes = F.length(payload)
-    invalid_msg = F.concat(F.lit("Invalid "), F.upper(file_type),
+    # 'jpeg' (extension path) validates with the jpg signature
+    magic_ok = (
+        F.when(F.col("_file_type") == "pdf", F.col("_m_pdf"))
+        .when(F.col("_file_type") == "png", F.col("_m_png"))
+        .when(F.col("_file_type").isin("jpg", "jpeg"), F.col("_m_jpg"))
+        .when(F.col("_file_type") == "tiff", F.col("_m_tiff"))
+        .otherwise(F.lit(False))
+    )
+    invalid_msg = F.concat(F.lit("Invalid "), F.upper(F.col("_file_type")),
                            F.lit(" file format - incorrect file signature"))
     reason = (
         F.when(F.col("http_status") != 200,
@@ -132,11 +160,10 @@ def url_landing_plan(requests: DataFrame,
         .when(F.col("content_length_header").isNotNull()
               & (F.col("content_length_header") > MAX_FILE_SIZE),
               MSG_TOO_LARGE)
-        .when(n_bytes > MAX_FILE_SIZE, MSG_TOO_LARGE)
-        .when(n_bytes == 0, MSG_EMPTY)
-        .when((file_type != "unknown") & ~_magic_ok(payload, file_type),
-              invalid_msg)
-        .when(file_type == "unknown", MSG_UNKNOWN_TYPE)
+        .when(F.col("_n_bytes") > MAX_FILE_SIZE, MSG_TOO_LARGE)
+        .when(F.col("_n_bytes") == 0, MSG_EMPTY)
+        .when((F.col("_file_type") != "unknown") & ~magic_ok, invalid_msg)
+        .when(F.col("_file_type") == "unknown", MSG_UNKNOWN_TYPE)
     )
     # gates that fire before the ladder report the pre-ladder filename
     # and 'unknown' type (the reference raises before resolving them)
@@ -144,13 +171,17 @@ def url_landing_plan(requests: DataFrame,
         (F.col("http_status") != 200)
         | (F.col("content_length_header").isNotNull()
            & (F.col("content_length_header") > MAX_FILE_SIZE))
-        | (n_bytes > MAX_FILE_SIZE) | (n_bytes == 0)
+        | (F.col("_n_bytes") > MAX_FILE_SIZE) | (F.col("_n_bytes") == 0)
     )
-    return requests.select(
-        url.alias("url"),
-        F.when(pre_ladder_reject, fname1).otherwise(fname2).alias("filename"),
-        F.when(pre_ladder_reject, "unknown").otherwise(file_type)
-        .alias("file_type"),
-        F.when(reason.isNull(), "accept").otherwise("reject").alias("action"),
-        reason.alias("reason"),
+    s8 = s7.withColumn("_reason", reason) \
+        .withColumn("_pre_reject", pre_ladder_reject)
+    return s8.select(
+        "url",
+        F.when(F.col("_pre_reject"), F.col("_fname1"))
+        .otherwise(F.col("_fname2")).alias("filename"),
+        F.when(F.col("_pre_reject"), "unknown")
+        .otherwise(F.col("_file_type")).alias("file_type"),
+        F.when(F.col("_reason").isNull(), "accept").otherwise("reject")
+        .alias("action"),
+        F.col("_reason").alias("reason"),
     )
