@@ -133,3 +133,38 @@ def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
         F.col("canon_exact").alias("canonical"),
     )
     return surv_out.unionByName(exact_out)
+
+
+def curation_with_quality(docs: DataFrame, use_lsh: bool = False,
+                          threshold: float = 0.5, k: int = 5,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Quality-first curation: the Gopher repetition gates
+    (operators/textstats.py::gopher_repetition, Rae et al. 2021 A1.1)
+    run on the RAW text BEFORE the expensive extraction/dedup stages —
+    the order every large-scale pipeline uses, because a rejected doc
+    costs one cheap aggregate instead of the full flow. Output adds a
+    fourth status::
+
+        (doc_id, 'rejected_quality' | 'kept' | 'exact_dup' | 'near_dup',
+         canonical)   -- canonical NULL for quality rejections
+
+    Rejected docs never reach the dedup stages, so a repetitive doc
+    cannot become some cleaner doc's canonical. Oracle-checked
+    end-to-end (``curation_quality_keep_list`` chains the Gopher
+    DuckDB replay into the curation chain replay).
+    """
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
+    from n8n_tools_api_spark.operators.textstats import gopher_repetition
+
+    gates = RoundMaterializer(checkpoint_dir)(
+        gopher_repetition(docs).select("doc_id", "gopher_keep"), "gates")
+    flagged = docs.join(gates, "doc_id")
+    passed = flagged.where(F.col("gopher_keep")).select("doc_id", "text")
+    rejected = flagged.where(~F.col("gopher_keep")).select(
+        "doc_id",
+        F.lit("rejected_quality").alias("status"),
+        F.lit(None).cast("string").alias("canonical"),
+    )
+    return curation_keep_list(passed, use_lsh=use_lsh, threshold=threshold,
+                              k=k, checkpoint_dir=checkpoint_dir) \
+        .unionByName(rejected)

@@ -2439,8 +2439,7 @@ def curation_keep_list(spark, sf_dir):
 
 # Shared CTE chain for the curation replays: clean6 → md5 window dedup
 # → shingle Jaccard w/ df-cap → recursive-CTE closure → keep-list.
-_CURATION_CHAIN_SQL = rf"""
-WITH RECURSIVE corpus AS (
+_CURATION_CORPUS_CTE = r"""corpus AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
   FROM documents WHERE doc_id < 300
   UNION ALL
@@ -2450,9 +2449,15 @@ WITH RECURSIVE corpus AS (
   SELECT 'mut_' || CAST(doc_id AS VARCHAR),
          substring(text, 1, CAST(floor(length(text) * 0.9) AS INT))
   FROM documents WHERE doc_id < 25
-),
-cleaned AS (
-  SELECT doc_id, {_clean6_sql("COALESCE(text, '')")} AS ct FROM corpus
+)"""
+
+
+def _curation_tail(src: str) -> str:
+    """cleaned→ranked→…→final CTE chain reading its input from
+    ``src`` — 'corpus' for the plain flow, 'qcorpus' for the
+    quality-gated composition."""
+    return rf"""cleaned AS (
+  SELECT doc_id, {_clean6_sql("COALESCE(text, '')")} AS ct FROM {src}
 ),
 ranked AS (
   SELECT doc_id, ct,
@@ -2520,9 +2525,106 @@ final AS (
 )
 """
 
+
+_CURATION_CHAIN_SQL = ("WITH RECURSIVE " + _CURATION_CORPUS_CTE + ",\n"
+                       + _curation_tail("corpus"))
+
 CURATION_SQL = (_CURATION_CHAIN_SQL
                 + "SELECT doc_id, status, canonical FROM final"
                   " ORDER BY doc_id\n")
+
+
+# Gopher gate over the curation corpus's RAW text (same expressions as
+# GOPHER_REPETITION_SQL, reduced to the keep boolean) — feeds qcorpus
+# into the unchanged curation chain.
+_GOPHER_GATE_CTES = r"""q_lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM corpus, unnest(string_split(COALESCE(text, ''), chr(10))) AS t(l)
+  WHERE trim(l) != ''
+),
+q_line_groups AS (
+  SELECT doc_id, line, COUNT(*) AS cnt
+  FROM q_lines GROUP BY doc_id, line
+),
+q_line_stats AS (
+  SELECT doc_id, SUM(cnt) AS n_lines,
+         SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS dup_lines
+  FROM q_line_groups GROUP BY doc_id
+),
+q_words AS (
+  SELECT doc_id, length(COALESCE(text, '')) AS total_chars,
+         [w for w in regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
+          if w != ''] AS ws
+  FROM corpus
+),
+q_g2top AS (
+  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top2
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
+              FROM (SELECT doc_id, total_chars,
+                           unnest(CASE WHEN len(ws) >= 2 THEN
+                             [array_to_string(ws[i:i+1], ' ')
+                              for i in generate_series(1, len(ws) - 1)]
+                           ELSE [] END) AS gram
+                    FROM q_words)
+              GROUP BY doc_id, total_chars, gram HAVING COUNT(*) >= 2))
+  WHERE rn = 1
+),
+q_g3top AS (
+  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top3
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
+              FROM (SELECT doc_id, total_chars,
+                           unnest(CASE WHEN len(ws) >= 3 THEN
+                             [array_to_string(ws[i:i+2], ' ')
+                              for i in generate_series(1, len(ws) - 2)]
+                           ELSE [] END) AS gram
+                    FROM q_words)
+              GROUP BY doc_id, total_chars, gram HAVING COUNT(*) >= 2))
+  WHERE rn = 1
+),
+q_gate AS (
+  SELECT c.doc_id,
+         (round(COALESCE(CAST(dup_lines AS DOUBLE) / n_lines, 0), 6) <= 0.30
+          AND COALESCE(top2, 0.0) <= 0.20
+          AND COALESCE(top3, 0.0) <= 0.18) AS keep
+  FROM corpus c
+  LEFT JOIN q_line_stats USING (doc_id)
+  LEFT JOIN q_g2top USING (doc_id)
+  LEFT JOIN q_g3top USING (doc_id)
+),
+qcorpus AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN q_gate g USING (doc_id)
+  WHERE g.keep
+)"""
+
+
+def curation_quality_keep_list(spark, sf_dir):
+    """QUALITY-FIRST CURATION ORACLE: the Gopher gates run on raw text
+    BEFORE the curation flow (the order real pipelines use — a
+    rejected doc costs one aggregate, not the full extract/dedup
+    chain); survivors run the unchanged oracle-checked curation chain,
+    rejections surface as ``rejected_quality`` with NULL canonical.
+    DuckDB chains the Gopher replay into the curation replay in ONE
+    query."""
+    from n8n_tools_api_spark.operators.curation import curation_with_quality
+
+    return curation_with_quality(_curation_corpus(spark, sf_dir),
+                                 use_lsh=False).orderBy("doc_id")
+
+
+CURATION_QUALITY_SQL = (
+    "WITH RECURSIVE " + _CURATION_CORPUS_CTE + ",\n"
+    + _GOPHER_GATE_CTES + ",\n"
+    + _curation_tail("qcorpus")
+    + "SELECT doc_id, status, canonical FROM final\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'rejected_quality' AS status,"
+      " CAST(NULL AS VARCHAR) AS canonical FROM q_gate WHERE NOT keep\n"
+      "ORDER BY doc_id\n"
+)
 
 
 def curation_agreement(spark, sf_dir):
@@ -2626,4 +2728,6 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "media_resize_plan": (media_resize_plan, MEDIA_RESIZE_SQL),
     "media_frame_samples": (media_frame_samples, MEDIA_FRAMES_SQL),
     "gopher_repetition": (gopher_repetition_q, GOPHER_REPETITION_SQL),
+    "curation_quality_keep_list": (curation_quality_keep_list,
+                                   CURATION_QUALITY_SQL),
 }

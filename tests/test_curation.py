@@ -95,6 +95,30 @@ class TestCurationKeepList:
         lsh_kept = {d for d, (s, _) in lsh_rows.items() if s == "kept"}
         assert exact_kept <= lsh_kept
 
+    def test_quality_gate_runs_before_dedup(self, spark):
+        """A repetitive doc is rejected by the Gopher gate and must NOT
+        become anyone's canonical — even when it would otherwise be the
+        lexicographically-smallest member of a near-dup cluster."""
+        from n8n_tools_api_spark.operators.curation import curation_with_quality
+
+        text = " ".join(f"w{j} x{j} y{j}" for j in range(40))
+        near = " ".join(text.split()[:108])
+        spammy = "\n".join(["the same line"] * 8) + "\n" + text
+        docs = spark.createDataFrame(
+            [("a_spam", spammy),       # rejected: 7/9 duplicate lines
+             ("b", text), ("c_near", near),
+             ("clean", "completely unrelated words forming a doc")],
+            "doc_id string, text string",
+        )
+        out = {r["doc_id"]: (r["status"], r["canonical"])
+               for r in curation_with_quality(docs).collect()}
+        assert out["a_spam"] == ("rejected_quality", None)
+        # the near-dup cluster resolves among the survivors only
+        assert out["b"] == ("kept", "b")
+        assert out["c_near"] == ("near_dup", "b")
+        assert out["clean"] == ("kept", "clean")
+        assert len(out) == 4
+
     def test_reliable_checkpoint_path_matches_local(self, spark, corpus,
                                                     exact_rows, tmp_path):
         """round-3 verdict #2: with checkpoint_dir set, every
