@@ -185,3 +185,88 @@ def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
             (dup_line_frac <= 0.30) & (t2 <= 0.20) & (t3 <= 0.18)
         ).alias("gopher_keep"),
     )
+
+
+# Gopher A1.1 stop-word list (Rae et al. 2021): a doc must contain at
+# least two of these to pass the "stop word" filter.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_word_stats(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The word/line-level Gopher quality rules (Rae et al. 2021,
+    Appendix A1.1) — the companion to :func:`gopher_repetition`, so the
+    engine carries the COMPLETE published filter set:
+
+    * 50 ≤ word count ≤ 100,000;
+    * 3 ≤ mean word length ≤ 10;
+    * symbol-to-word ratio ≤ 0.1 (symbols = '#' occurrences plus '...'
+      occurrences);
+    * ≤ 90% of lines starting with a bullet ('•', '- ', '* ');
+    * ≤ 30% of lines ending with an ellipsis ('...' or '…');
+    * ≥ 80% of words containing at least one alphabetic character;
+    * ≥ 2 distinct stop words from the paper's list present.
+
+    Unlike gopher_repetition this is a PURE per-row projection —
+    higher-order functions over the word/line arrays, zero shuffle,
+    whole-stage codegen — so at 100 TB it rides the scan. Lines follow
+    the repetition operator's rule (trimmed, non-blank); words are the
+    \\s+ split. All fractions round to 6dp before gating; DuckDB
+    replays everything (oracle ``gopher_word_stats``).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(F.transform(ws, lambda w: F.length(w)),
+                          F.lit(0), lambda a, b: a + b)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t)
+             - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    n_bullet = F.size(F.filter(
+        lines, lambda x: x.startswith("•") | x.startswith("- ")
+        | x.startswith("* ")))
+    n_ell_lines = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.transform(ws, lambda w: F.lower(w)),
+        F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])))
+
+    zero_guard = F.when(n_words > 0, n_words)
+    line_guard = F.when(n_lines > 0, n_lines)
+    mean_len = F.round(F.coalesce(sum_len / zero_guard, F.lit(0.0)), 6)
+    sym_ratio = F.round(
+        F.coalesce((n_hash + n_ell) / zero_guard, F.lit(0.0)), 6)
+    bullet_frac = F.round(
+        F.coalesce(n_bullet / line_guard, F.lit(0.0)), 6)
+    ell_frac = F.round(
+        F.coalesce(n_ell_lines / line_guard, F.lit(0.0)), 6)
+    alpha_frac = F.round(
+        F.coalesce(n_alpha / zero_guard, F.lit(0.0)), 6)
+    keep = (
+        n_words.between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        keep.alias("gopher_word_keep"),
+    )

@@ -2601,6 +2601,121 @@ qcorpus AS (
 )"""
 
 
+def gopher_word_stats_q(spark, sf_dir):
+    """GOPHER WORD-RULES ORACLE: the word/line-level half of the Rae
+    et al. 2021 A1.1 filter set (word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stop-word floor) as a pure per-row projection, over
+    documents<300 plus planted pathologies per rule: 15 ``bul_``
+    all-bullet docs, 15 ``ell_`` all-ellipsis docs (which pass every
+    OTHER gate, isolating the ellipsis rule), 10 ``num_`` all-numeric
+    docs. DuckDB replays the list comprehensions exactly."""
+    from n8n_tools_api_spark.operators.textstats import gopher_word_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 300).select(
+        did.alias("doc_id"), "text")
+    bul = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("bul_"), did).alias("doc_id"),
+        F.repeat(F.concat(F.lit("• item one two "), did, F.lit("\n")), 20)
+        .alias("text"))
+    ell = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("ell_"), did).alias("doc_id"),
+        F.repeat(F.lit("the words of and that have trail on...\n"), 10)
+        .alias("text"))
+    num = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("num_"), did).alias("doc_id"),
+        F.repeat(F.lit("11 22 33 44 55 66 "), 10).alias("text"))
+    # the synthetic corpus's invented vocabulary carries almost no real
+    # English stop words, so natural docs fail the stop-word floor —
+    # plant 20 docs that PASS every gate so the oracle pins both sides
+    eng = docs.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("eng_"), did).alias("doc_id"),
+        F.concat(F.repeat(
+            F.lit("the value of data and methods that have grown with time "),
+            8), F.lit("tail"), did).alias("text"))
+    corpus = (base.unionByName(bul).unionByName(ell).unionByName(num)
+              .unionByName(eng))
+    return gopher_word_stats(corpus).orderBy("doc_id")
+
+
+GOPHER_WORD_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, COALESCE(text, '') AS text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'bul_' || CAST(doc_id AS VARCHAR),
+         repeat('• item one two ' || CAST(doc_id AS VARCHAR) || chr(10), 20)
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'ell_' || CAST(doc_id AS VARCHAR),
+         repeat('the words of and that have trail on...' || chr(10), 10)
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'num_' || CAST(doc_id AS VARCHAR),
+         repeat('11 22 33 44 55 66 ', 10)
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 'eng_' || CAST(doc_id AS VARCHAR),
+         repeat('the value of data and methods that have grown with time ',
+                8) || 'tail' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 20
+),
+arrs AS (
+  SELECT doc_id, text,
+         [w for w in regexp_split_to_array(trim(text), '\s+') if w != '']
+           AS ws,
+         [l for l in [trim(x) for x in string_split(text, chr(10))]
+          if l != ''] AS ls
+  FROM corpus
+),
+counted AS (
+  SELECT doc_id,
+         len(ws) AS n_words, len(ls) AS n_lines,
+         CAST(list_sum([length(w) for w in ws]) AS BIGINT) AS sum_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         len([l for l in ls if starts_with(l, '•')
+              OR starts_with(l, '- ') OR starts_with(l, '* ')])
+           AS n_bullet,
+         len([l for l in ls if ends_with(l, '...') OR ends_with(l, '…')])
+           AS n_ell_lines,
+         len([w for w in ws if regexp_matches(w, '[A-Za-z]')]) AS n_alpha,
+         len(list_intersect([lower(w) for w in ws],
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+           AS n_stop
+  FROM arrs
+),
+rated AS (
+  SELECT doc_id,
+         CAST(n_words AS INT) AS n_words,
+         round(COALESCE(sum_len / NULLIF(n_words, 0), 0), 6)
+           AS mean_word_len,
+         round(COALESCE((n_hash + n_ell) / NULLIF(n_words, 0), 0), 6)
+           AS symbol_word_ratio,
+         round(COALESCE(CAST(n_bullet AS DOUBLE) / NULLIF(n_lines, 0), 0), 6)
+           AS bullet_line_frac,
+         round(COALESCE(CAST(n_ell_lines AS DOUBLE) / NULLIF(n_lines, 0),
+                        0), 6) AS ellipsis_line_frac,
+         round(COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0), 0), 6)
+           AS alpha_word_frac,
+         CAST(n_stop AS INT) AS n_stopwords
+  FROM counted
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 2) AS gopher_word_keep
+FROM rated
+ORDER BY doc_id
+"""
+
+
 def curation_quality_keep_list(spark, sf_dir):
     """QUALITY-FIRST CURATION ORACLE: the Gopher gates run on raw text
     BEFORE the curation flow (the order real pipelines use — a
@@ -2730,4 +2845,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "gopher_repetition": (gopher_repetition_q, GOPHER_REPETITION_SQL),
     "curation_quality_keep_list": (curation_quality_keep_list,
                                    CURATION_QUALITY_SQL),
+    "gopher_word_stats": (gopher_word_stats_q, GOPHER_WORD_SQL),
 }

@@ -44,6 +44,36 @@ class TestGopherRepetition:
         assert out["gram"]["gopher_keep"] is False
         assert out["ok"]["gopher_keep"] is True
 
+    def test_word_rules_isolate_each_gate(self, spark):
+        from n8n_tools_api_spark.operators.textstats import gopher_word_stats
+
+        good = " ".join(
+            "the quick brown fox and that lazy dog have fun with it"
+            .split() * 6)  # 66 words, stopwords present, alpha, no symbols
+        out = {r["doc_id"]: r for r in gopher_word_stats(
+            spark.createDataFrame(
+                [("good", good),
+                 ("bullets", "• item one\n" * 30),
+                 ("ellipsis", "the words of and that have trail on...\n" * 10),
+                 ("numeric", "11 22 33 44 55 66 " * 10),
+                 ("tiny", "the cat sat on the mat and that have with")],
+                "doc_id string, text string")).collect()}
+        g = out["good"]
+        assert g["gopher_word_keep"] is True and g["n_stopwords"] >= 2
+        assert out["bullets"]["bullet_line_frac"] == 1.0
+        assert out["bullets"]["gopher_word_keep"] is False
+        e = out["ellipsis"]
+        # 90 words, stopwords, sane mean length — ONLY the ellipsis
+        # rule fires (isolates the gate)
+        assert e["n_words"] == 80 and e["n_stopwords"] >= 2
+        assert e["ellipsis_line_frac"] == 1.0
+        assert 3.0 <= e["mean_word_len"] <= 10.0
+        assert e["gopher_word_keep"] is False
+        n = out["numeric"]
+        assert n["alpha_word_frac"] == 0.0 and n["gopher_word_keep"] is False
+        # under the 50-word floor
+        assert out["tiny"]["gopher_word_keep"] is False
+
     def test_null_and_blank_docs_are_safe(self, spark):
         out = _rows(spark, [("n", None), ("b", "   \n  \n"), ("t", "x")])
         for k in ("n", "b"):
