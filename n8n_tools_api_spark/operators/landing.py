@@ -153,10 +153,18 @@ def url_landing_plan(requests: DataFrame,
     )
     invalid_msg = F.concat(F.lit("Invalid "), F.upper(F.col("_file_type")),
                            F.lit(" file format - incorrect file signature"))
+    # NULL status (fetch never completed) must REJECT like the refsem
+    # twin: Python's `None != 200` is True, but a raw Spark `!= 200`
+    # on NULL is NULL and would fall through to acceptance (review
+    # finding). The message renders 'HTTP None' exactly like the
+    # f-string.
+    status_bad = (F.col("http_status").isNull()
+                  | (F.col("http_status") != 200))
     reason = (
-        F.when(F.col("http_status") != 200,
+        F.when(status_bad,
                F.concat(F.lit("Failed to download file: HTTP "),
-                        F.col("http_status").cast("string")))
+                        F.coalesce(F.col("http_status").cast("string"),
+                                   F.lit("None"))))
         .when(F.col("content_length_header").isNotNull()
               & (F.col("content_length_header") > MAX_FILE_SIZE),
               MSG_TOO_LARGE)
@@ -168,7 +176,7 @@ def url_landing_plan(requests: DataFrame,
     # gates that fire before the ladder report the pre-ladder filename
     # and 'unknown' type (the reference raises before resolving them)
     pre_ladder_reject = (
-        (F.col("http_status") != 200)
+        status_bad
         | (F.col("content_length_header").isNotNull()
            & (F.col("content_length_header") > MAX_FILE_SIZE))
         | (F.col("_n_bytes") > MAX_FILE_SIZE) | (F.col("_n_bytes") == 0)

@@ -34,14 +34,26 @@ from pyspark.sql import DataFrame
 class RoundMaterializer:
     """Materialize per-round DataFrames; see module docstring."""
 
-    def __init__(self, checkpoint_dir: str | None = None):
+    # process-wide monotonic namespace counter: two materializers
+    # sharing one checkpoint_dir (e.g. periodic reruns of the same
+    # pipeline) must never clobber each other's files — a lazily
+    # returned frame from run k still references them when run k+1
+    # starts (review finding). Deterministic (no uuid/wall clock).
+    _seq = 0
+
+    def __init__(self, checkpoint_dir: str | None = None,
+                 namespace: str | None = None):
         self.checkpoint_dir = checkpoint_dir
+        if checkpoint_dir is not None and namespace is None:
+            RoundMaterializer._seq += 1
+            namespace = f"m{RoundMaterializer._seq:04d}"
+        self.namespace = namespace
         self._paths: dict[str, str] = {}
 
     def __call__(self, df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
         if self.checkpoint_dir is None:
             return df.localCheckpoint(eager=eager)
-        path = f"{self.checkpoint_dir}/{tag}"
+        path = f"{self.checkpoint_dir}/{self.namespace}/{tag}"
         df.write.mode("overwrite").parquet(path)
         self._paths[tag] = path
         return df.sparkSession.read.parquet(path)

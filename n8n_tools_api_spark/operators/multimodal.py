@@ -239,6 +239,9 @@ def sample_frames(assets: DataFrame, fps: float = 2.0,
     """
     from pyspark.sql import functions as F
 
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1, got {max_frames} "
+                         "(0 would build a descending frame sequence)")
     duration_ms = (F.length("media_bytes").cast("double")
                    / F.lit(float(bytes_per_second)) * 1000)
     n_total = (F.floor(duration_ms / 1000 * F.lit(float(fps)))

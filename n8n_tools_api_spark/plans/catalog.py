@@ -1909,6 +1909,30 @@ def gopher_repetition_q(spark, sf_dir):
     return gopher_repetition(corpus).orderBy("doc_id")
 
 
+def _top_gram_cte(n: int, name: str, out: str,
+                  words_cte: str = "words") -> str:
+    """Most-frequent-REPEATED-word-n-gram CTE: count × gram length /
+    total chars, >=2 repetition floor, (count DESC, gram ASC)
+    tie-break. ONE generator for all four uses (gopher_repetition's
+    g2top/g3top and the quality-curation gate's q_g2top/q_g3top) so a
+    tweak to the floor/tie-break/rounding cannot desync the oracles
+    (review finding)."""
+    return rf"""{name} AS (
+  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS {out}
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
+              FROM (SELECT doc_id, total_chars,
+                           unnest(CASE WHEN len(ws) >= {n} THEN
+                             [array_to_string(ws[i:i+{n - 1}], ' ')
+                              for i in generate_series(1, len(ws) - {n - 1})]
+                           ELSE [] END) AS gram
+                    FROM {words_cte})
+              GROUP BY doc_id, total_chars, gram HAVING COUNT(*) >= 2))
+  WHERE rn = 1
+)"""
+
+
 GOPHER_REPETITION_SQL = r"""
 WITH corpus AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, COALESCE(text, '') AS text
@@ -1949,40 +1973,8 @@ words AS (
            AS ws
   FROM corpus
 ),
-g2 AS (
-  SELECT doc_id, total_chars,
-         unnest(CASE WHEN len(ws) >= 2 THEN
-           [array_to_string(ws[i:i+1], ' ')
-            for i in generate_series(1, len(ws) - 1)]
-         ELSE [] END) AS gram
-  FROM words
-),
-g2top AS (
-  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top2
-  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY cnt DESC, gram ASC) AS rn
-        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
-              FROM g2 GROUP BY doc_id, total_chars, gram
-              HAVING COUNT(*) >= 2))
-  WHERE rn = 1
-),
-g3 AS (
-  SELECT doc_id, total_chars,
-         unnest(CASE WHEN len(ws) >= 3 THEN
-           [array_to_string(ws[i:i+2], ' ')
-            for i in generate_series(1, len(ws) - 2)]
-         ELSE [] END) AS gram
-  FROM words
-),
-g3top AS (
-  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top3
-  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY cnt DESC, gram ASC) AS rn
-        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
-              FROM g3 GROUP BY doc_id, total_chars, gram
-              HAVING COUNT(*) >= 2))
-  WHERE rn = 1
-),
+""" + _top_gram_cte(2, "g2top", "top2") + ",\n" \
+    + _top_gram_cte(3, "g3top", "top3") + r""",
 joined AS (
   SELECT c.doc_id,
          COALESCE(n_lines, 0) AS n_lines,
@@ -2557,34 +2549,8 @@ q_words AS (
           if w != ''] AS ws
   FROM corpus
 ),
-q_g2top AS (
-  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top2
-  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY cnt DESC, gram ASC) AS rn
-        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
-              FROM (SELECT doc_id, total_chars,
-                           unnest(CASE WHEN len(ws) >= 2 THEN
-                             [array_to_string(ws[i:i+1], ' ')
-                              for i in generate_series(1, len(ws) - 1)]
-                           ELSE [] END) AS gram
-                    FROM q_words)
-              GROUP BY doc_id, total_chars, gram HAVING COUNT(*) >= 2))
-  WHERE rn = 1
-),
-q_g3top AS (
-  SELECT doc_id, round(cnt * length(gram) / total_chars, 6) AS top3
-  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY cnt DESC, gram ASC) AS rn
-        FROM (SELECT doc_id, total_chars, gram, COUNT(*) AS cnt
-              FROM (SELECT doc_id, total_chars,
-                           unnest(CASE WHEN len(ws) >= 3 THEN
-                             [array_to_string(ws[i:i+2], ' ')
-                              for i in generate_series(1, len(ws) - 2)]
-                           ELSE [] END) AS gram
-                    FROM q_words)
-              GROUP BY doc_id, total_chars, gram HAVING COUNT(*) >= 2))
-  WHERE rn = 1
-),
+""" + _top_gram_cte(2, "q_g2top", "top2", "q_words") + ",\n" \
+    + _top_gram_cte(3, "q_g3top", "top3", "q_words") + r""",
 q_gate AS (
   SELECT c.doc_id,
          (round(COALESCE(CAST(dup_lines AS DOUBLE) / n_lines, 0), 6) <= 0.30
@@ -2622,7 +2588,7 @@ def gopher_word_stats_q(spark, sf_dir):
         .alias("text"))
     ell = docs.where(F.col("doc_id") < 15).select(
         F.concat(F.lit("ell_"), did).alias("doc_id"),
-        F.repeat(F.lit("the words of and that have trail on...\n"), 10)
+        F.repeat(F.lit("the words of and that have trail on and on more...\n"), 10)
         .alias("text"))
     num = docs.where(F.col("doc_id") < 10).select(
         F.concat(F.lit("num_"), did).alias("doc_id"),
@@ -2650,7 +2616,7 @@ WITH corpus AS (
   FROM documents WHERE doc_id < 15
   UNION ALL
   SELECT 'ell_' || CAST(doc_id AS VARCHAR),
-         repeat('the words of and that have trail on...' || chr(10), 10)
+         repeat('the words of and that have trail on and on more...' || chr(10), 10)
   FROM documents WHERE doc_id < 15
   UNION ALL
   SELECT 'num_' || CAST(doc_id AS VARCHAR),

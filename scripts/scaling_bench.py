@@ -445,8 +445,11 @@ one balanced hash join.
                            check=True, capture_output=True, timeout=1800)
         # 2 rounds: the composed job is the longest suite; interleaving
         # two rounds still de-noises while keeping total wall bounded
+        # suite 3 is by far the longest; cap at 2 rounds but still
+        # honor BENCH_ROUNDS=1 (review finding: the hardcoded 2
+        # silently ignored the env knob)
         best = interleaved(CURATION_JOB, {"BENCH_CURATION_CORPUS": cur_corpus},
-                           rounds=2)
+                           rounds=min(ROUNDS, 2))
         c2, c8, c32 = best[2], best[8], best[32]
         for key in ("kept", "exact_dup", "near_dup"):
             assert c2[key] == c8[key] == c32[key], \

@@ -133,5 +133,9 @@ class TestCurationKeepList:
         assert got == want
         import os
 
-        entries = set(os.listdir(str(tmp_path / "ck")))
+        # each RoundMaterializer instance gets its own namespace dir;
+        # the curation flow spawns three (ranked / banded / components)
+        ck = str(tmp_path / "ck")
+        entries = {e for ns in os.listdir(ck)
+                   for e in os.listdir(os.path.join(ck, ns))}
         assert {"ranked", "banded", "edges"} <= entries

@@ -54,7 +54,7 @@ class TestGopherRepetition:
             spark.createDataFrame(
                 [("good", good),
                  ("bullets", "• item one\n" * 30),
-                 ("ellipsis", "the words of and that have trail on...\n" * 10),
+                 ("ellipsis", "the words of and that have trail on and on more...\n" * 10),
                  ("numeric", "11 22 33 44 55 66 " * 10),
                  ("tiny", "the cat sat on the mat and that have with")],
                 "doc_id string, text string")).collect()}
@@ -63,9 +63,12 @@ class TestGopherRepetition:
         assert out["bullets"]["bullet_line_frac"] == 1.0
         assert out["bullets"]["gopher_word_keep"] is False
         e = out["ellipsis"]
-        # 90 words, stopwords, sane mean length — ONLY the ellipsis
-        # rule fires (isolates the gate)
-        assert e["n_words"] == 80 and e["n_stopwords"] >= 2
+        # 110 words, stopwords, sane mean length, symbol ratio under
+        # the gate — ONLY the ellipsis rule fires (isolates the gate;
+        # review finding: the 8-word line also tripped the symbol gate)
+        assert e["n_words"] == 110 and e["n_stopwords"] >= 2
+        assert e["symbol_word_ratio"] <= 0.1
+        assert e["alpha_word_frac"] >= 0.8
         assert e["ellipsis_line_frac"] == 1.0
         assert 3.0 <= e["mean_word_len"] <= 10.0
         assert e["gopher_word_keep"] is False

@@ -107,6 +107,9 @@ def corpus():
         ("https://h/.tiff", 200, "text/plain", None, b"\xde\xad\xbe\xef"),
         ("https://h/", 200, "application/pdf", None, PDF),
         ("https://h/noext", 200, None, None, b"garbage"),
+        # fetch never completed: NULL status must reject ('HTTP None'),
+        # never fall through NULL comparisons into acceptance
+        ("https://h/pending.pdf", None, None, None, PDF),
     ]
     return rows
 

@@ -590,13 +590,35 @@ class TestNearDupComponents:
         assert all(v == "c00" for k, v in reliable.items()
                    if k.startswith("c"))
         # superseded label rounds are deleted as the loop advances;
-        # edges + the final round's labels are what survives
-        entries = set(os.listdir(ck))
+        # edges + the final round's labels are what survives (inside
+        # the materializer's per-invocation namespace dir)
+        ns_dirs = os.listdir(ck)
+        assert len(ns_dirs) == 1, ns_dirs
+        entries = set(os.listdir(os.path.join(ck, ns_dirs[0])))
         assert "edges" in entries
         label_rounds = {e for e in entries if e.startswith("labels_")}
         assert 1 <= len(label_rounds) <= 2, entries
         # the returned frame stays readable (its files were not released)
         assert reliable_df.count() == len(local)
+
+    def test_materializer_runs_sharing_a_dir_do_not_clobber(self, spark,
+                                                            tmp_path):
+        """review finding: two invocations sharing one checkpoint_dir
+        (periodic reruns) used the same fixed tags with overwrite —
+        run k+1's eager write deleted files run k's lazily-returned
+        frame still referenced. Namespaced runs must coexist."""
+        from pyspark.sql import functions as F
+
+        from n8n_tools_api_spark.operators.materialize import (
+            RoundMaterializer)
+
+        df = spark.range(5).toDF("id")
+        m1 = RoundMaterializer(str(tmp_path))
+        a = m1(df, "t")  # lazy consumer: collect AFTER the second run
+        m2 = RoundMaterializer(str(tmp_path))
+        m2(df.withColumn("id", F.col("id") + 100), "t")
+        assert sorted(r["id"] for r in a.collect()) == list(range(5))
+        assert m1.namespace != m2.namespace
 
     def test_end_to_end_with_minhash(self, spark):
         from n8n_tools_api_spark.operators.dedup import duplicate_clusters
