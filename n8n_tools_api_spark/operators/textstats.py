@@ -270,3 +270,57 @@ def gopher_word_stats(docs: DataFrame, id_col: str = "doc_id",
         n_stop.cast("int").alias("n_stopwords"),
         keep.alias("gopher_word_keep"),
     )
+
+
+def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The C4 cleaning rules (Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", 2020,
+    §2.2 — the other canonical public filter set beside Gopher):
+
+    * keep only lines ending in terminal punctuation ('.', '!', '?',
+      '"');
+    * keep only lines with ≥5 words;
+    * drop lines containing the word "javascript" (case-insensitive);
+    * drop the whole page if it contains "lorem ipsum"
+      (case-insensitive) or a curly brace '{';
+    * drop the page if the retained text has <3 sentences (sentence ≈
+      terminal-punctuation run in the retained lines — the paper
+      filters on sentence count; the punctuation-count approximation
+      is documented and replayed exactly by the oracle).
+
+    Output: (doc_id, clean_text — the retained lines joined by '\\n',
+    n_lines_kept, n_sentences, has_lorem_ipsum, has_brace, c4_keep).
+    Pure per-row higher-order projection — zero shuffle, rides the
+    scan at 100 TB; pairs with gopher_repetition/gopher_word_stats for
+    a complete public-rules quality stage.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    terminal = lambda x: (x.endswith(".") | x.endswith("!")
+                          | x.endswith("?") | x.endswith('"'))
+    five_words = lambda x: F.size(
+        F.filter(F.split(x, r"\s+"), lambda w: w != "")) >= 5
+    no_js = lambda x: ~F.lower(x).rlike(r"\bjavascript\b")
+    kept = F.filter(lines,
+                    lambda x: terminal(x) & five_words(x) & no_js(x))
+    clean_text = F.concat_ws("\n", kept)
+    n_sentences = F.size(
+        F.filter(F.split(clean_text, r"[.!?]+"),
+                 lambda s: F.trim(s) != ""))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean_text.alias("clean_text"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_sentences >= 3)).alias("c4_keep"),
+    )

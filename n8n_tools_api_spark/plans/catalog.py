@@ -2682,6 +2682,102 @@ ORDER BY doc_id
 """
 
 
+def c4_line_filter_q(spark, sf_dir):
+    """C4 CLEANING ORACLE (Raffel et al. 2020 §2.2): terminal-
+    punctuation + ≥5-word + no-'javascript' line retention, lorem-
+    ipsum / curly-brace page rejection, ≥3-sentence floor — over
+    documents<300 plus planted docs per rule: 15 ``js_`` (the
+    javascript line drops, the page survives), 10 ``lor_`` / 10
+    ``brc_`` page rejections, 10 ``frg_`` no-terminal-punctuation
+    docs. DuckDB replays the line comprehensions and the sentence
+    split exactly."""
+    from n8n_tools_api_spark.operators.textstats import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 300).select(
+        did.alias("doc_id"), "text")
+    good = "The good line stays with enough words today.\n"
+    js = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("js_"), did).alias("doc_id"),
+        F.concat(F.repeat(F.lit(good), 4),
+                 F.lit("Enable javascript to view this page properly.\n"),
+                 F.lit("Tail words for doc "), did, F.lit(".")).alias("text"))
+    lor = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("lor_"), did).alias("doc_id"),
+        F.concat(F.repeat(F.lit(good), 4),
+                 F.lit("Lorem Ipsum dolor sit amet filler text.")).alias("text"))
+    brc = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("brc_"), did).alias("doc_id"),
+        F.concat(F.repeat(F.lit(good), 4),
+                 F.lit("if (x) { return y; }")).alias("text"))
+    frg = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("frg_"), did).alias("doc_id"),
+        F.repeat(F.concat(F.lit("fragment without terminal punctuation "),
+                          did, F.lit("\n")), 5).alias("text"))
+    corpus = (base.unionByName(js).unionByName(lor).unionByName(brc)
+              .unionByName(frg))
+    return c4_line_filter(corpus).orderBy("doc_id")
+
+
+C4_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, COALESCE(text, '') AS text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'js_' || CAST(doc_id AS VARCHAR),
+         repeat('The good line stays with enough words today.' || chr(10), 4)
+         || 'Enable javascript to view this page properly.' || chr(10)
+         || 'Tail words for doc ' || CAST(doc_id AS VARCHAR) || '.'
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'lor_' || CAST(doc_id AS VARCHAR),
+         repeat('The good line stays with enough words today.' || chr(10), 4)
+         || 'Lorem Ipsum dolor sit amet filler text.'
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 'brc_' || CAST(doc_id AS VARCHAR),
+         repeat('The good line stays with enough words today.' || chr(10), 4)
+         || 'if (x) { return y; }'
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 'frg_' || CAST(doc_id AS VARCHAR),
+         repeat('fragment without terminal punctuation '
+                || CAST(doc_id AS VARCHAR) || chr(10), 5)
+  FROM documents WHERE doc_id < 10
+),
+kept AS (
+  SELECT doc_id, text,
+         [l for l in [trim(x) for x in string_split(text, chr(10))]
+          if l != ''
+             AND (ends_with(l, '.') OR ends_with(l, '!')
+                  OR ends_with(l, '?') OR ends_with(l, '"'))
+             AND len([w for w in regexp_split_to_array(l, '\s+')
+                      if w != '']) >= 5
+             AND NOT regexp_matches(lower(l), '\bjavascript\b')]
+           AS kl
+  FROM corpus
+),
+rated AS (
+  -- COALESCE: DuckDB's array_to_string over an EMPTY list is NULL,
+  -- Spark's concat_ws is ''
+  SELECT doc_id, clean_text,
+         CAST(len(kl) AS INT) AS n_lines_kept,
+         CAST(len([s for s in regexp_split_to_array(clean_text, '[.!?]+')
+                   if trim(s) != '']) AS INT) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{') AS has_brace
+  FROM (SELECT *, COALESCE(array_to_string(kl, chr(10)), '') AS clean_text
+        FROM kept)
+)
+SELECT *,
+       (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 3)
+         AS c4_keep
+FROM rated
+ORDER BY doc_id
+"""
+
+
 def curation_quality_keep_list(spark, sf_dir):
     """QUALITY-FIRST CURATION ORACLE: the Gopher gates run on raw text
     BEFORE the curation flow (the order real pipelines use — a
@@ -2812,4 +2908,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "curation_quality_keep_list": (curation_quality_keep_list,
                                    CURATION_QUALITY_SQL),
     "gopher_word_stats": (gopher_word_stats_q, GOPHER_WORD_SQL),
+    "c4_line_filter": (c4_line_filter_q, C4_SQL),
 }

@@ -84,3 +84,50 @@ class TestGopherRepetition:
             assert r["n_lines"] == 0 and r["gopher_keep"] is True
             assert r["dup_line_frac"] == 0.0
         assert out["t"]["n_lines"] == 1 and out["t"]["gopher_keep"] is True
+
+
+class TestC4LineFilter:
+    def test_line_rules(self, spark):
+        from n8n_tools_api_spark.operators.textstats import c4_line_filter
+
+        good = "The good line stays with enough words today."
+        doc = "\n".join([
+            good,
+            "short line.",                      # <5 words → dropped
+            "no terminal punctuation here at all",  # dropped
+            "Enable javascript to view this page properly.",  # dropped
+            'He said the magic words "exactly five words here today."',
+            good,
+        ])
+        out = {r["doc_id"]: r for r in c4_line_filter(
+            spark.createDataFrame([("d", doc)],
+                                  "doc_id string, text string")).collect()}
+        d = out["d"]
+        assert d["n_lines_kept"] == 3
+        assert "javascript" not in d["clean_text"]
+        assert "short line." not in d["clean_text"]
+        assert d["n_sentences"] >= 3 and d["c4_keep"] is True
+
+    def test_page_rules_and_sentence_floor(self, spark):
+        from n8n_tools_api_spark.operators.textstats import c4_line_filter
+
+        good = "The good line stays with enough words today.\n" * 4
+        rows = [
+            ("lorem", good + "and some Lorem Ipsum filler."),
+            ("brace", good + "code { like this }"),
+            ("fragments", "no terminal punctuation in sight\n" * 5),
+            ("ok", good),
+            ("empty", None),
+        ]
+        out = {r["doc_id"]: r for r in c4_line_filter(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()}
+        assert out["lorem"]["has_lorem_ipsum"] is True
+        assert out["lorem"]["c4_keep"] is False
+        assert out["brace"]["has_brace"] is True
+        assert out["brace"]["c4_keep"] is False
+        assert out["fragments"]["n_lines_kept"] == 0
+        assert out["fragments"]["c4_keep"] is False
+        assert out["ok"]["c4_keep"] is True
+        e = out["empty"]
+        assert e["clean_text"] == "" and e["c4_keep"] is False
