@@ -86,6 +86,7 @@ def main() -> None:
         "events_daily", "doc_token_counts", "doc_quality_scores",
         "exact_dedup_stats", "cosine_topk", "formatted_fingerprints",
         "curation_keep_list", "lineage_health", "url_landing",
+        "gopher_word_stats", "c4_line_filter",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
