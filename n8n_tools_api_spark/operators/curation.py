@@ -156,9 +156,16 @@ def curation_with_quality(docs: DataFrame, use_lsh: bool = False,
     from n8n_tools_api_spark.operators.materialize import RoundMaterializer
     from n8n_tools_api_spark.operators.textstats import gopher_repetition
 
-    gates = RoundMaterializer(checkpoint_dir)(
-        gopher_repetition(docs).select("doc_id", "gopher_keep"), "gates")
-    flagged = docs.join(gates, "doc_id")
+    mat = RoundMaterializer(checkpoint_dir)
+    gates = mat(gopher_repetition(docs).select("doc_id", "gopher_keep"),
+                "gates")
+    # materialize the joined frame before splitting: passed and rejected
+    # both consume it, and without the cut the full upstream lineage of
+    # ``docs`` (often an extraction chain) would execute once per branch
+    # — the same duplicate-execution pattern the ranked-frame
+    # materialization in curation_keep_list prevents (advice finding)
+    flagged = mat(docs.join(gates, "doc_id"), "flagged")
+    mat.release("gates")  # flagged is materialized; gates files are free
     passed = flagged.where(F.col("gopher_keep")).select("doc_id", "text")
     rejected = flagged.where(~F.col("gopher_keep")).select(
         "doc_id",

@@ -38,7 +38,12 @@ class RoundMaterializer:
     # sharing one checkpoint_dir (e.g. periodic reruns of the same
     # pipeline) must never clobber each other's files — a lazily
     # returned frame from run k still references them when run k+1
-    # starts (review finding). Deterministic (no uuid/wall clock).
+    # starts (review finding). The counter alone only protects within
+    # one driver process (it resets to m0001 in a fresh process), so the
+    # Spark applicationId — unique per driver application, assigned by
+    # Spark itself — is folded into the path at first write (advice
+    # finding): overlapping periodic runs from separate processes land
+    # in disjoint subtrees of the same checkpoint_dir.
     _seq = 0
 
     def __init__(self, checkpoint_dir: str | None = None,
@@ -48,12 +53,15 @@ class RoundMaterializer:
             RoundMaterializer._seq += 1
             namespace = f"m{RoundMaterializer._seq:04d}"
         self.namespace = namespace
+        self._app_prefix: str | None = None
         self._paths: dict[str, str] = {}
 
     def __call__(self, df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
         if self.checkpoint_dir is None:
             return df.localCheckpoint(eager=eager)
-        path = f"{self.checkpoint_dir}/{self.namespace}/{tag}"
+        if self._app_prefix is None:
+            self._app_prefix = df.sparkSession.sparkContext.applicationId
+        path = f"{self.checkpoint_dir}/{self._app_prefix}/{self.namespace}/{tag}"
         df.write.mode("overwrite").parquet(path)
         self._paths[tag] = path
         return df.sparkSession.read.parquet(path)

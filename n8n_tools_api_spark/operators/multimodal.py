@@ -242,7 +242,14 @@ def sample_frames(assets: DataFrame, fps: float = 2.0,
     if max_frames < 1:
         raise ValueError(f"max_frames must be >= 1, got {max_frames} "
                          "(0 would build a descending frame sequence)")
-    duration_ms = (F.length("media_bytes").cast("double")
+    # NULL media_bytes would propagate through n_total/n_kept into
+    # sequence() and explode() would then drop the row with no frames
+    # and no frames_dropped accounting (advice finding) — coalesce to
+    # empty so a NULL payload yields the same single t=0 frame a
+    # zero-byte payload does, keeping the operator total like
+    # decode_media's fallback row.
+    payload = F.coalesce(F.col("media_bytes"), F.lit(b""))
+    duration_ms = (F.length(payload).cast("double")
                    / F.lit(float(bytes_per_second)) * 1000)
     n_total = (F.floor(duration_ms / 1000 * F.lit(float(fps)))
                .cast("int") + 1)

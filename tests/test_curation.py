@@ -133,9 +133,14 @@ class TestCurationKeepList:
         assert got == want
         import os
 
-        # each RoundMaterializer instance gets its own namespace dir;
-        # the curation flow spawns three (ranked / banded / components)
+        # layout: <dir>/<applicationId>/<namespace>/<tag> — the appId
+        # level isolates concurrent driver processes sharing one dir,
+        # and each RoundMaterializer instance gets its own namespace
+        # (the curation flow spawns three: ranked / banded / components)
         ck = str(tmp_path / "ck")
-        entries = {e for ns in os.listdir(ck)
-                   for e in os.listdir(os.path.join(ck, ns))}
+        apps = os.listdir(ck)
+        assert apps == [spark.sparkContext.applicationId]
+        app_dir = os.path.join(ck, apps[0])
+        entries = {e for ns in os.listdir(app_dir)
+                   for e in os.listdir(os.path.join(app_dir, ns))}
         assert {"ranked", "banded", "edges"} <= entries

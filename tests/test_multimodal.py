@@ -168,6 +168,22 @@ class TestResizeAndFrames:
         shorts = by_key["a_short"]
         assert len(shorts) == 2 and shorts[0]["frames_dropped"] == 0
 
+    def test_sample_frames_null_payload_stays_total(self, spark):
+        """advice finding: a NULL media_bytes row must not vanish from
+        the output — it yields the same single t=0 frame a zero-byte
+        payload does, with frames_dropped accounted (0)."""
+        from n8n_tools_api_spark.operators.multimodal import sample_frames
+
+        assets = spark.createDataFrame(
+            [("v_null", "video", None),
+             ("a_empty", "audio", bytearray(b""))],
+            "media_key string, kind string, media_bytes binary",
+        )
+        rows = sample_frames(assets).collect()
+        got = {r["media_key"]: (r["frame_idx"], r["ts_ms"],
+                                r["frames_dropped"]) for r in rows}
+        assert got == {"v_null": (0, 0.0, 0), "a_empty": (0, 0.0, 0)}
+
 
 class TestDecodeMediaStage:
     def test_real_dims_flow_through_mapinpandas(self, spark):
