@@ -175,3 +175,46 @@ def curation_with_quality(docs: DataFrame, use_lsh: bool = False,
     return curation_keep_list(passed, use_lsh=use_lsh, threshold=threshold,
                               k=k, checkpoint_dir=checkpoint_dir) \
         .unionByName(rejected)
+
+
+def c4_curation_keep_list(docs: DataFrame, use_lsh: bool = False,
+                          threshold: float = 0.5, k: int = 5,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """C4-first curation — the full public-pipeline stage order
+    (C4 / RefinedWeb: clean lines → quality-filter → dedup):
+
+    1. the C4 cleaning rules (operators/textstats.py::c4_line_filter,
+       Raffel et al. 2020 §2.2) drop boilerplate lines and reject
+       lorem-ipsum / brace / fragment pages → status ``rejected_c4``
+       (canonical NULL);
+    2. every downstream stage consumes the C4-CLEANED text, not the raw
+       page: the Gopher repetition gates (``rejected_quality``) and the
+       exact + near-dup curation chain all run on ``clean_text`` — so a
+       page whose only differences were dropped boilerplate lines
+       dedups against its clean twin (the reason real pipelines clean
+       first).
+
+    Output: (doc_id, 'rejected_c4' | 'rejected_quality' | 'kept' |
+    'exact_dup' | 'near_dup', canonical). Oracle-checked end-to-end
+    (plans/catalog.py ``c4_curation_keep_list`` chains the C4 replay →
+    Gopher replay → curation replay in one DuckDB query).
+    """
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
+    from n8n_tools_api_spark.operators.textstats import c4_line_filter
+
+    mat = RoundMaterializer(checkpoint_dir)
+    # materialized once: the rated frame feeds both the rejected branch
+    # and the downstream quality/dedup chain
+    rated = mat(c4_line_filter(docs).select("doc_id", "clean_text",
+                                            "c4_keep"), "c4_rated")
+    rejected = rated.where(~F.col("c4_keep")).select(
+        "doc_id",
+        F.lit("rejected_c4").alias("status"),
+        F.lit(None).cast("string").alias("canonical"),
+    )
+    passed = rated.where(F.col("c4_keep")).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    return curation_with_quality(passed, use_lsh=use_lsh,
+                                 threshold=threshold, k=k,
+                                 checkpoint_dir=checkpoint_dir) \
+        .unionByName(rejected)

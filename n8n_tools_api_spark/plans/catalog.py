@@ -2526,12 +2526,15 @@ CURATION_SQL = (_CURATION_CHAIN_SQL
                   " ORDER BY doc_id\n")
 
 
-# Gopher gate over the curation corpus's RAW text (same expressions as
+# Gopher gate over a (doc_id, text) source CTE (same expressions as
 # GOPHER_REPETITION_SQL, reduced to the keep boolean) — feeds qcorpus
-# into the unchanged curation chain.
-_GOPHER_GATE_CTES = r"""q_lines AS (
+# into the unchanged curation chain. Parametrized by source so the
+# composition can gate RAW text ('corpus') or C4-cleaned text
+# ('c4corpus').
+def _gopher_gate_ctes(src: str) -> str:
+    return rf"""q_lines AS (
   SELECT doc_id, trim(l) AS line
-  FROM corpus, unnest(string_split(COALESCE(text, ''), chr(10))) AS t(l)
+  FROM {src}, unnest(string_split(COALESCE(text, ''), chr(10))) AS t(l)
   WHERE trim(l) != ''
 ),
 q_line_groups AS (
@@ -2547,24 +2550,27 @@ q_words AS (
   SELECT doc_id, length(COALESCE(text, '')) AS total_chars,
          [w for w in regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
           if w != ''] AS ws
-  FROM corpus
+  FROM {src}
 ),
 """ + _top_gram_cte(2, "q_g2top", "top2", "q_words") + ",\n" \
-    + _top_gram_cte(3, "q_g3top", "top3", "q_words") + r""",
+    + _top_gram_cte(3, "q_g3top", "top3", "q_words") + rf""",
 q_gate AS (
   SELECT c.doc_id,
          (round(COALESCE(CAST(dup_lines AS DOUBLE) / n_lines, 0), 6) <= 0.30
           AND COALESCE(top2, 0.0) <= 0.20
           AND COALESCE(top3, 0.0) <= 0.18) AS keep
-  FROM corpus c
+  FROM {src} c
   LEFT JOIN q_line_stats USING (doc_id)
   LEFT JOIN q_g2top USING (doc_id)
   LEFT JOIN q_g3top USING (doc_id)
 ),
 qcorpus AS (
-  SELECT c.doc_id, c.text FROM corpus c JOIN q_gate g USING (doc_id)
+  SELECT c.doc_id, c.text FROM {src} c JOIN q_gate g USING (doc_id)
   WHERE g.keep
 )"""
+
+
+_GOPHER_GATE_CTES = _gopher_gate_ctes("corpus")
 
 
 def gopher_word_stats_q(spark, sf_dir):
@@ -2804,6 +2810,139 @@ CURATION_QUALITY_SQL = (
 )
 
 
+def c4_curation_keep_list_q(spark, sf_dir):
+    """C4-FIRST CURATION ORACLE (the full public-pipeline stage order:
+    C4 clean → Gopher gate → exact/near dedup, every downstream stage
+    consuming the C4-CLEANED text): documents<300 re-shaped into
+    sentence-terminated lines (the synthetic corpus has no terminal
+    punctuation, so lines are built from sanitized 60-char slices —
+    DuckDB rebuilds them from the same arithmetic) plus planted
+    branches: 40 ``copy_`` exact twins, 25 ``mut_`` 3-of-4-line
+    truncations (near-dups after cleaning), 15 ``js_`` docs whose only
+    delta is a dropped javascript line (C4 cleaning makes them EXACT
+    dups of their base — the reason pipelines clean before dedup), 10
+    ``brc_`` brace pages (rejected_c4), 12 ``rep_`` repeated-line docs
+    that pass C4 but fail the Gopher gate on cleaned text
+    (rejected_quality). One DuckDB query chains the C4 replay → Gopher
+    replay → curation replay."""
+    from n8n_tools_api_spark.operators.curation import c4_curation_keep_list
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    t = F.trim(F.regexp_replace(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "[^a-z0-9 ]", " "), " +", " "))
+
+    def line(i):
+        return F.concat(F.substring(t, 1 + 60 * (i - 1), 60), F.lit("."))
+
+    sent4 = F.concat_ws("\n", line(1), line(2), line(3), line(4))
+    sent3 = F.concat_ws("\n", line(1), line(2), line(3))
+    rep_line = F.concat(F.substring(t, 1, 40), F.lit("."))
+    base = docs.where(F.col("doc_id") < 300).select(
+        did.alias("doc_id"), sent4.alias("text"))
+    copies = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("copy_"), did).alias("doc_id"), sent4.alias("text"))
+    muts = docs.where(F.col("doc_id") < 25).select(
+        F.concat(F.lit("mut_"), did).alias("doc_id"), sent3.alias("text"))
+    js = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("js_"), did).alias("doc_id"),
+        F.concat_ws("\n", line(1), line(2),
+                    F.lit("Enable javascript to view this page properly."),
+                    line(3), line(4)).alias("text"))
+    brc = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("brc_"), did).alias("doc_id"),
+        F.concat_ws("\n", sent4,
+                    F.lit("if (x) { return y; }")).alias("text"))
+    rep = docs.where(F.col("doc_id") < 12).select(
+        F.concat(F.lit("rep_"), did).alias("doc_id"),
+        F.concat_ws("\n", rep_line, rep_line, rep_line, rep_line, rep_line,
+                    F.concat(F.lit("unique tail for doc "), did,
+                             F.lit(" with extra words."))).alias("text"))
+    corpus = (base.unionByName(copies).unionByName(muts).unionByName(js)
+              .unionByName(brc).unionByName(rep))
+    return c4_curation_keep_list(corpus, use_lsh=False).orderBy("doc_id")
+
+
+_C4_CURATION_SRC_CTES = r"""san AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did, doc_id AS id,
+         trim(regexp_replace(regexp_replace(COALESCE(text, ''),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < 300
+),
+ln AS (
+  SELECT did, id,
+         substr(t, 1, 60) || '.' AS l1, substr(t, 61, 60) || '.' AS l2,
+         substr(t, 121, 60) || '.' AS l3, substr(t, 181, 60) || '.' AS l4,
+         substr(t, 1, 40) || '.' AS r
+  FROM san
+),
+c4src AS (
+  SELECT did AS doc_id,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 AS text
+  FROM ln
+  UNION ALL
+  SELECT 'copy_' || did,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+  FROM ln WHERE id < 40
+  UNION ALL
+  SELECT 'mut_' || did, l1 || chr(10) || l2 || chr(10) || l3
+  FROM ln WHERE id < 25
+  UNION ALL
+  SELECT 'js_' || did,
+         l1 || chr(10) || l2 || chr(10)
+         || 'Enable javascript to view this page properly.' || chr(10)
+         || l3 || chr(10) || l4
+  FROM ln WHERE id < 15
+  UNION ALL
+  SELECT 'brc_' || did,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 || chr(10)
+         || 'if (x) { return y; }'
+  FROM ln WHERE id < 10
+  UNION ALL
+  SELECT 'rep_' || did,
+         r || chr(10) || r || chr(10) || r || chr(10) || r || chr(10) || r
+         || chr(10) || 'unique tail for doc ' || did || ' with extra words.'
+  FROM ln WHERE id < 12
+),
+c4kept AS (
+  SELECT doc_id, text,
+         [l for l in [trim(x) for x in string_split(text, chr(10))]
+          if l != ''
+             AND (ends_with(l, '.') OR ends_with(l, '!')
+                  OR ends_with(l, '?') OR ends_with(l, '"'))
+             AND len([w for w in regexp_split_to_array(l, '\s+')
+                      if w != '']) >= 5
+             AND NOT regexp_matches(lower(l), '\bjavascript\b')]
+           AS kl
+  FROM c4src
+),
+c4gate AS (
+  SELECT doc_id, clean_text,
+         (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')
+          AND len([s for s in regexp_split_to_array(clean_text, '[.!?]+')
+                   if trim(s) != '']) >= 3) AS c4_keep
+  FROM (SELECT *, COALESCE(array_to_string(kl, chr(10)), '') AS clean_text
+        FROM c4kept)
+),
+c4corpus AS (SELECT doc_id, clean_text AS text FROM c4gate WHERE c4_keep)"""
+
+
+C4_CURATION_SQL = (
+    "WITH RECURSIVE " + _C4_CURATION_SRC_CTES + ",\n"
+    + _gopher_gate_ctes("c4corpus") + ",\n"
+    + _curation_tail("qcorpus")
+    + "SELECT doc_id, status, canonical FROM final\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'rejected_quality' AS status,"
+      " CAST(NULL AS VARCHAR) AS canonical FROM q_gate WHERE NOT keep\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'rejected_c4' AS status,"
+      " CAST(NULL AS VARCHAR) AS canonical FROM c4gate WHERE NOT c4_keep\n"
+      "ORDER BY doc_id\n"
+)
+
+
 def curation_agreement(spark, sf_dir):
     """LSH-TWIN AGREEMENT ORACLE (round-3 verdict #5): the 100-TB
     curation path (`curation_keep_list(use_lsh=True)` — MinHash-LSH
@@ -2847,6 +2986,98 @@ FROM final
 GROUP BY status
 ORDER BY status
 """)
+
+
+def boilerplate_strip_q(spark, sf_dir):
+    """BOILERPLATE-STRIP ORACLE: the REAL DOM walker
+    (refsem/boilerplate.py — regex tag stream → tree → block
+    segmentation → link-ratio / tag-density scoring) driven through its
+    mapInPandas stage over HTML pages BUILT IN-QUERY from the documents
+    table, one of six structural shapes per doc_id % 6:
+
+      0  nav + <p>t1</p> + footer                → t1
+      1  <p>t1</p> + <div><p>t2</p></div> + aside → t1 ␤␤ t2
+      2  link-farm div (ratio 1) + <p>t1</p>     → t1
+      3  tag-dense <p><span>…×3</span></p> + <p>t1</p> + body-inline
+         trailing text                            → trailing ␤␤ t1
+         (container inline text precedes block children — pins the
+         walk order)
+      4  all-link <ul><li><a>…</li></ul> + two paragraphs → t1 ␤␤ t2
+      5  nav + script + footer only               → ''
+
+    t1/t2 are sanitized slices of the doc text, so DuckDB can compute
+    the EXPECTED survivor text closed-form from the same columns — any
+    regression in the tree builder, drop-tags, block segmentation,
+    scoring thresholds, or join order breaks the hash. The heuristic is
+    our own spec (the reference has no HTML stripper, SURVEY.md §2.10);
+    north_rule requires the operator."""
+    from n8n_tools_api_spark.operators.boilerplate import (
+        strip_boilerplate_stage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    s = F.trim(F.regexp_replace(
+        F.regexp_replace("text", "[^a-z0-9 ]", " "), " +", " "))
+    t1 = F.substring(s, 1, 110)
+    t2 = F.substring(s, 131, 110)
+    shape = (F.col("doc_id") % 6).cast("int")
+    html = (
+        F.when(shape == 0, F.concat(
+            F.lit('<html><body><nav><a href="/">Home</a> '
+                  '<a href="/a">About</a></nav><p>'), t1,
+            F.lit('</p><footer>site footer</footer></body></html>')))
+        .when(shape == 1, F.concat(
+            F.lit('<html><body><p>'), t1, F.lit('</p><div><p>'), t2,
+            F.lit('</p></div><aside>sidebar junk</aside></body></html>')))
+        .when(shape == 2, F.concat(
+            F.lit('<html><body><div><a href="/1">click here now</a> '
+                  '<a href="/2">buy this item</a> '
+                  '<a href="/3">subscribe today</a></div><p>'), t1,
+            F.lit('</p></body></html>')))
+        .when(shape == 3, F.concat(
+            F.lit('<html><body><p><span>x</span><span>y</span>'
+                  '<span>z</span></p><p>'), t1,
+            F.lit('</p>trailing body text</body></html>')))
+        .when(shape == 4, F.concat(
+            F.lit('<html><body><ul><li><a href="/x">one link</a></li>'
+                  '<li><a href="/y">two link</a></li></ul><p>'), t1,
+            F.lit('</p><p>'), t2, F.lit('</p></body></html>')))
+        .otherwise(F.lit(
+            '<html><body><nav><a href="/">home</a></nav>'
+            '<script>var x=1;</script><footer>foot</footer></body></html>'))
+    )
+    pages = docs.select("doc_id", shape.alias("shape"), html.alias("html"))
+    return strip_boilerplate_stage(pages).orderBy("doc_id")
+
+
+# Closed-form replay: the expected kept-block text per planted shape,
+# from the same sanitize/slice arithmetic (blocks joined with a blank
+# line; body-inline text precedes block children in shape 3).
+BOILERPLATE_SQL = r"""
+WITH src AS (
+  SELECT doc_id, CAST(doc_id % 6 AS INT) AS shape,
+         trim(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS s
+  FROM documents WHERE doc_id < 240
+),
+chunks AS (
+  SELECT doc_id, shape,
+         nullif(trim(substr(s, 1, 110)), '') AS t1,
+         nullif(trim(substr(s, 131, 110)), '') AS t2
+  FROM src
+)
+SELECT doc_id, shape,
+       CASE shape
+         WHEN 0 THEN concat_ws(chr(10) || chr(10), t1)
+         WHEN 1 THEN concat_ws(chr(10) || chr(10), t1, t2)
+         WHEN 2 THEN concat_ws(chr(10) || chr(10), t1)
+         WHEN 3 THEN concat_ws(chr(10) || chr(10), 'trailing body text', t1)
+         WHEN 4 THEN concat_ws(chr(10) || chr(10), t1, t2)
+         ELSE ''
+       END AS main_text
+FROM chunks
+ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2909,4 +3140,6 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
                                    CURATION_QUALITY_SQL),
     "gopher_word_stats": (gopher_word_stats_q, GOPHER_WORD_SQL),
     "c4_line_filter": (c4_line_filter_q, C4_SQL),
+    "boilerplate_strip": (boilerplate_strip_q, BOILERPLATE_SQL),
+    "c4_curation_keep_list": (c4_curation_keep_list_q, C4_CURATION_SQL),
 }

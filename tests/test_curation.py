@@ -119,6 +119,41 @@ class TestCurationKeepList:
         assert out["clean"] == ("kept", "clean")
         assert len(out) == 4
 
+    def test_c4_cleaning_runs_before_dedup(self, spark):
+        """c4_curation_keep_list: downstream stages consume the C4-
+        CLEANED text — two pages whose only delta is a dropped
+        javascript boilerplate line must collapse to exact dups, a
+        brace page must come back rejected_c4 with NULL canonical, and
+        a repeated-line page that passes C4 must still fall to the
+        Gopher gate."""
+        from n8n_tools_api_spark.operators.curation import c4_curation_keep_list
+
+        # lexically distinct lines so the cleaned page passes the
+        # Gopher n-gram coverage gates
+        body = "\n".join([
+            "apples grow near tall fences during early autumn days.",
+            "rivers carry cold water toward distant valley towns below.",
+            "music from the old radio filled every quiet evening room.",
+            "seven children walked slowly across the bright green field.",
+        ])
+        with_js = body + \
+            "\nPlease enable javascript to continue browsing here."
+        docs = spark.createDataFrame(
+            [("a", body),
+             ("b_js", with_js),               # cleans to exactly `body`
+             ("c_brace", body + "\nif (x) { return y; }"),
+             ("d_rep", "\n".join(["the same exact line repeats here fully."] * 6)
+              + "\none unique closing line appears here at last.")],
+            "doc_id string, text string",
+        )
+        out = {r["doc_id"]: (r["status"], r["canonical"])
+               for r in c4_curation_keep_list(docs).collect()}
+        assert out["a"] == ("kept", "a")
+        assert out["b_js"] == ("exact_dup", "a")
+        assert out["c_brace"] == ("rejected_c4", None)
+        assert out["d_rep"] == ("rejected_quality", None)
+        assert len(out) == 4
+
     def test_reliable_checkpoint_path_matches_local(self, spark, corpus,
                                                     exact_rows, tmp_path):
         """round-3 verdict #2: with checkpoint_dir set, every
