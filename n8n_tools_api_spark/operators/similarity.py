@@ -67,16 +67,25 @@ def ivf_assign(emb: DataFrame, nlist: int = 16,
         .limit(nlist)
         .select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centroid"))
     )
+    return centroids, assign_to_centroids(emb, centroids, id_col, vec_col)
+
+
+def assign_to_centroids(emb: DataFrame, centroids: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
+    score every vector, keep the argmax per vector (ties broken by
+    cluster_id). The shared join of ivf_assign and every Lloyd
+    reassignment round."""
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
     )
     pick = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("cluster_id"))
-    assigned = (
+    return (
         scored.withColumn("_rn", F.row_number().over(pick))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_score", "centroid")
     )
-    return centroids, assigned
 
 
 def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
@@ -121,14 +130,8 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
                     .alias("centroid")),
             f"centroids_{_i}",
         )
-        scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-            "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
-        )
-        pick = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("cluster_id"))
         assigned = mat(
-            scored.withColumn("_rn", F.row_number().over(pick))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_score", "centroid"),
+            assign_to_centroids(emb, centroids, id_col, vec_col),
             f"assign_{_i}",
         )
         mat.release(f"assign_{_i - 1}" if _i else "assign_init")

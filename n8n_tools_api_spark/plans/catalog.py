@@ -2988,6 +2988,248 @@ ORDER BY status
 """)
 
 
+def _stream_agreement_corpus(spark, sf_dir, with_exact_dups):
+    """Two arrival batches whose TRUE disposition is known closed-form
+    by construction (category column):
+
+    * ``base``  — documents<150, distinct-text guarded, batch 1 →
+      always admitted (random-vocab docs never share all 16 LSH bands);
+    * ``media`` — two NULL-text docs, batch 1 → always admitted (both
+      prefilters exempt media-only docs via doc-unique salted keys);
+    * ``mut``   — 90%-char truncations of long bases, batch 2 → ≥1
+      minhash minimum changes, so ≥1 novel band → admitted;
+    * ``ws``    — base text + trailing space, batch 2 → different
+      sha256 but identical shingle stream → ALL bands collide →
+      suppressed by the LSH stage;
+    * ``dup``   — exact text copies, batch 2 (curation flow only) →
+      suppressed by the content-hash stage.
+
+    Arrival times are seconds apart (id for batch 1, 600+id for batch
+    2) so a '2 hours' watermark keeps every batch-1 claim alive when
+    batch 2 is arbitrated.
+    """
+    base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    # every word is tagged with its doc id: the synthetic corpus's tiny
+    # vocabulary makes NATURAL docs near-identical under shingled
+    # MinHash (measured: doc 120 shares 13/16 bands with doc 12), so
+    # untagged bases would all-band-collide with each other and the
+    # closed-form 'base always admits' claim would be false. Tagging
+    # makes base shingle sets pairwise disjoint — admission is then
+    # structural, not probabilistic. Selection guards below use the
+    # ORIGINAL text length so DuckDB mirrors them without re-deriving
+    # the tagged text.
+    base = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("doc_id").cast("bigint").alias("id"),
+            F.length("text").alias("orig_len"),
+            F.concat_ws(" ", F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda wd: F.concat(F.lit("d"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("_"), wd))).alias("text"),
+        )
+    )
+    did = F.col("id").cast("string")
+    t2 = base_ts + F.make_interval(secs=F.col("id") + 600)
+    b1 = base.select(
+        did.alias("doc_id"), F.lit("base").alias("category"),
+        (base_ts + F.make_interval(secs=F.col("id"))).alias("event_time"),
+        "text",
+    ).unionByName(spark.createDataFrame(
+        [("media_1",), ("media_2",)], "doc_id string").select(
+            "doc_id", F.lit("media").alias("category"),
+            base_ts.alias("event_time"),
+            F.lit(None).cast("string").alias("text")))
+    muts = base.where((F.col("id") < 60) & (F.col("orig_len") >= 200)).select(
+        F.concat(F.lit("mut_"), did).alias("doc_id"),
+        F.lit("mut").alias("category"), t2.alias("event_time"),
+        F.expr("substring(text, 1, cast(length(text) * 0.9 as int))")
+        .alias("text"))
+    ws = base.where(F.col("id") < 40).select(
+        F.concat(F.lit("ws_"), did).alias("doc_id"),
+        F.lit("ws").alias("category"), t2.alias("event_time"),
+        F.concat(F.col("text"), F.lit(" ")).alias("text"))
+    b2 = muts.unionByName(ws)
+    if with_exact_dups:
+        b2 = b2.unionByName(base.where(F.col("id") < 30).select(
+            F.concat(F.lit("dup_"), did).alias("doc_id"),
+            F.lit("dup").alias("category"), t2.alias("event_time"), "text"))
+    return b1, b2
+
+
+def _run_stream_rounds(spark, build_stream, batches, name):
+    """Feed arrival batches through a REAL streaming query (parquet
+    source/sink, availableNow trigger, shared checkpoint) one batch per
+    run — distinct micro-batches, so cross-batch first-claim order is
+    deterministic. Returns the admitted doc_ids. The pid-keyed /tmp
+    namespace isolates concurrent driver processes; paths are wiped at
+    entry so reruns are idempotent."""
+    import os
+    import shutil
+
+    root = f"/tmp/spark_graft_stream_oracle/{os.getpid()}/{name}"
+    shutil.rmtree(root, ignore_errors=True)
+    schema = "doc_id string, event_time timestamp, text string"
+    for b in batches:
+        b.select("doc_id", "event_time", "text").write.mode("append") \
+            .parquet(f"{root}/in")
+        q = (
+            build_stream(spark.readStream.schema(schema)
+                         .parquet(f"{root}/in"))
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").select("doc_id")
+
+
+def stream_neardup_agreement(spark, sf_dir):
+    """STREAMING NEAR-DUP AGREEMENT ORACLE (round-4 verdict #3): the
+    REAL LSH prefilter stream (streaming/neardup_stream.py —
+    dropDuplicatesWithinWatermark over exploded band buckets, run here
+    through a parquet-source/sink availableNow query) AND its
+    deterministic batch twin, both rolled up against the closed-form
+    expected disposition of the planted corpus. DuckDB computes the
+    expectation from the corpus construction alone — the green row IS
+    the claim that stream ≡ twin ≡ spec (any stream/twin divergence or
+    suppression regression shifts a count and the hash goes red)."""
+    from n8n_tools_api_spark.streaming import (
+        neardup_prefilter_batch_twin,
+        neardup_prefilter_stream,
+    )
+
+    b1, b2 = _stream_agreement_corpus(spark, sf_dir, with_exact_dups=False)
+    admitted = _run_stream_rounds(
+        spark, lambda s: neardup_prefilter_stream(s, watermark="2 hours"),
+        [b1, b2], "neardup")
+    allr = b1.unionByName(b2).select("doc_id", "category")
+    twin = neardup_prefilter_batch_twin(
+        b1.unionByName(b2)).select("doc_id")
+    return (
+        allr.join(admitted.withColumn("_s", F.lit(1)), "doc_id", "left")
+        .join(twin.withColumn("_t", F.lit(1)), "doc_id", "left")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("_s").cast("bigint").alias("n_stream_admitted"),
+            F.count("_t").cast("bigint").alias("n_twin_admitted"),
+            F.count(F.when(F.col("_s").isNull() == F.col("_t").isNull(), 1))
+            .cast("bigint").alias("n_stream_twin_agree"),
+        )
+        .orderBy("category")
+    )
+
+
+def stream_curation_agreement(spark, sf_dir):
+    """STREAMING COMPOSED-CURATION AGREEMENT ORACLE (round-4 verdict
+    #3): the real two-stage curation stream (exact-dedup →
+    LSH prefilter, streaming/curation_stream.py) and its staged batch
+    twin vs the closed-form disposition — ``dup`` copies must fall to
+    the hash stage, ``ws`` whitespace twins to the band stage, and
+    mut/media/base must flow through; n_stage_agree counts twin rows
+    whose stage matches the construction, n_stream_twin_agree counts
+    docs where the stream's admit/suppress equals the twin's."""
+    from n8n_tools_api_spark.streaming import (
+        curation_stream,
+        curation_stream_batch_twin,
+    )
+
+    b1, b2 = _stream_agreement_corpus(spark, sf_dir, with_exact_dups=True)
+    admitted = _run_stream_rounds(
+        spark, lambda s: curation_stream(s, watermark="2 hours"),
+        [b1, b2], "curation")
+    allr = b1.unionByName(b2).select("doc_id", "category")
+    twin = curation_stream_batch_twin(b1.unionByName(b2)) \
+        .select("doc_id", "stage")
+    expected = (
+        F.when(F.col("category") == "dup", F.lit("exact_dup"))
+        .when(F.col("category") == "ws", F.lit("band_collision"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        allr.join(admitted.withColumn("_s", F.lit(1)), "doc_id", "left")
+        .join(twin, "doc_id", "left")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("_s").cast("bigint").alias("n_stream_admitted"),
+            F.count(F.when(F.col("stage") == expected, 1))
+            .cast("bigint").alias("n_stage_agree"),
+            F.count(F.when(
+                F.col("_s").isNull() == (F.col("stage") != "admitted"), 1))
+            .cast("bigint").alias("n_stream_twin_agree"),
+        )
+        .orderBy("category")
+    )
+
+
+# Closed-form replay of the planted dispositions: base/media/mut admit,
+# ws falls to the band stage, dup to the hash stage. The guards (rn=1
+# distinct-text, id<60 ∧ len≥200 for mut, id<40 for ws, id<30 for dup)
+# mirror the Spark corpus builder exactly.
+_STREAM_AGREEMENT_CORPUS_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents WHERE doc_id < 150)
+  WHERE rn = 1
+),
+corpus AS (
+  SELECT CAST(id AS VARCHAR) AS doc_id, 'base' AS category,
+         TRUE AS expect_admitted FROM base
+  UNION ALL SELECT 'media_1', 'media', TRUE
+  UNION ALL SELECT 'media_2', 'media', TRUE
+  UNION ALL
+  SELECT 'mut_' || CAST(id AS VARCHAR), 'mut', TRUE
+  FROM base WHERE id < 60 AND length(text) >= 200
+  UNION ALL
+  SELECT 'ws_' || CAST(id AS VARCHAR), 'ws', FALSE
+  FROM base WHERE id < 40
+  {dup_branch}
+)
+"""
+
+STREAM_NEARDUP_AGREEMENT_SQL = (
+    _STREAM_AGREEMENT_CORPUS_SQL.format(dup_branch="") + """
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN expect_admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stream_admitted,
+       CAST(SUM(CASE WHEN expect_admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_twin_admitted,
+       CAST(COUNT(*) AS BIGINT) AS n_stream_twin_agree
+FROM corpus
+GROUP BY category
+ORDER BY category
+""")
+
+STREAM_CURATION_AGREEMENT_SQL = (
+    _STREAM_AGREEMENT_CORPUS_SQL.format(dup_branch="""
+  UNION ALL
+  SELECT 'dup_' || CAST(id AS VARCHAR), 'dup', FALSE
+  FROM base WHERE id < 30
+""") + """
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN expect_admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stream_admitted,
+       CAST(COUNT(*) AS BIGINT) AS n_stage_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_stream_twin_agree
+FROM corpus
+GROUP BY category
+ORDER BY category
+""")
+
+
 def boilerplate_strip_q(spark, sf_dir):
     """BOILERPLATE-STRIP ORACLE: the REAL DOM walker
     (refsem/boilerplate.py — regex tag stream → tree → block
@@ -3142,4 +3384,8 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "c4_line_filter": (c4_line_filter_q, C4_SQL),
     "boilerplate_strip": (boilerplate_strip_q, BOILERPLATE_SQL),
     "c4_curation_keep_list": (c4_curation_keep_list_q, C4_CURATION_SQL),
+    "stream_neardup_agreement": (stream_neardup_agreement,
+                                 STREAM_NEARDUP_AGREEMENT_SQL),
+    "stream_curation_agreement": (stream_curation_agreement,
+                                  STREAM_CURATION_AGREEMENT_SQL),
 }

@@ -134,6 +134,38 @@ def ann_recall_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
                            nprobes=(1, 4, 16))
 
 
+def ann_kmeans_refined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF quantizer (round-4 verdict #7: kmeans_refine
+    was the only similarity operator with no query surface): two
+    refinement iterations from the deterministic seed centroids, then
+    per-cluster assignment counts under the REFINED centroids plus the
+    centroid norm — deterministic at fixed seeds/nlist, rows-only
+    (xxhash64 seeding and iterative means have no SQL replay; the
+    Lloyd convergence semantics are pinned by tests/test_operators.py).
+    """
+    from n8n_tools_api_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = kmeans_refine(emb, nlist=16, iters=2)
+    return (
+        assign_to_centroids(emb, centroids)
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .join(centroids, "cluster_id")
+        .select(
+            "cluster_id", "n_vectors",
+            F.round(F.sqrt(F.aggregate(
+                F.col("centroid").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v)), 4).alias("centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media decode stage (real stdlib header codec for still
     images; deterministic fake for other payloads): per-kind stats."""
@@ -327,6 +359,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": near_dup_clusters,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_evidence": ann_recall_evidence,
+    "ann_kmeans_refined_counts": ann_kmeans_refined_counts,
     # language_id moved to the ORACLE registry (decimal-sum rollup,
     # DuckDB char-coverage replay) — catalog.py:language_id_agreement
     "multimodal_decode_stats": multimodal_decode_stats,

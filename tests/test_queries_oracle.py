@@ -57,7 +57,7 @@ def test_pipeline_queries_run(spark, sf_dir, name):
 # minhash paths localCheckpoint the banded DF eagerly
 _EAGER_BY_DESIGN = {"near_dup_clusters", "minhash_near_dups",
                     "curation_pipeline", "ann_recall_evidence",
-                    "stream_curation"}
+                    "ann_kmeans_refined_counts", "stream_curation"}
 
 
 @pytest.mark.parametrize(
