@@ -109,7 +109,9 @@ def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
         )
         pairs = ngram_jaccard_pairs(survivors, text_col="clean_text", k=k,
                                     threshold=threshold,
-                                    candidate_pairs=cands)
+                                    candidate_pairs=cands,
+                                    checkpoint_shingles=True,
+                                    checkpoint_dir=checkpoint_dir)
     else:
         pairs = ngram_jaccard_pairs(survivors, text_col="clean_text", k=k,
                                     threshold=threshold)

@@ -88,7 +88,7 @@ def main() -> None:
     with timed("jaccard"):
         pairs = dd.ngram_jaccard_pairs(
             survivors, text_col="clean_text", k=5, threshold=0.5,
-            candidate_pairs=cands,
+            candidate_pairs=cands, checkpoint_shingles=True,
         ).select("doc_a", "doc_b").localCheckpoint(eager=True)
         n_pairs = pairs.count()
 

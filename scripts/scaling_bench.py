@@ -74,6 +74,7 @@ spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 corpus = bench_corpus(spark, n_docs)
 corpus.count()  # warm scan metadata; corpus parquet pre-built
 best = None
+load0 = os.getloadavg()[0]
 for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
     t0 = time.perf_counter()
     extract_spans(corpus).write.mode("overwrite").parquet(
@@ -83,6 +84,8 @@ for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
         best = sec
 print("BENCHLINE " + json.dumps({"cpus": cpus, "docs": n_docs,
                                  "seconds": round(best, 3),
+                                 "load_1min": [round(load0, 1),
+                                               round(os.getloadavg()[0], 1)],
                                  "docs_per_sec": round(n_docs / best, 1)}))
 spark.stop()
 """
@@ -110,6 +113,7 @@ spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
 corpus = spark.read.parquet(corpus_path)
 n_docs = corpus.count()
 best = None
+load0 = os.getloadavg()[0]
 for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
     t0 = time.perf_counter()
     pairs = (minhash_lsh_candidates(corpus, checkpoint_banded=True)
@@ -122,6 +126,8 @@ for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
 print("BENCHLINE " + json.dumps({"cpus": cpus, "docs": n_docs,
                                  "clusters": n_clusters,
                                  "seconds": round(best, 3),
+                                 "load_1min": [round(load0, 1),
+                                               round(os.getloadavg()[0], 1)],
                                  "docs_per_sec": round(n_docs / best, 1)}))
 spark.stop()
 """
@@ -149,6 +155,7 @@ corpus = spark.read.parquet(corpus_path)
 n_docs = corpus.count()
 best = None
 counts = None
+load0 = os.getloadavg()[0]
 for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
     t0 = time.perf_counter()
     out = curation_keep_list(corpus, use_lsh=True)
@@ -162,6 +169,8 @@ print("BENCHLINE " + json.dumps({"cpus": cpus, "docs": n_docs,
                                  "exact_dup": counts.get("exact_dup", 0),
                                  "near_dup": counts.get("near_dup", 0),
                                  "seconds": round(best, 3),
+                                 "load_1min": [round(load0, 1),
+                                               round(os.getloadavg()[0], 1)],
                                  "docs_per_sec": round(n_docs / best, 1)}))
 spark.stop()
 """

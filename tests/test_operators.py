@@ -591,10 +591,13 @@ class TestNearDupComponents:
                    if k.startswith("c"))
         # superseded label rounds are deleted as the loop advances;
         # edges + the final round's labels are what survives (inside
-        # the materializer's per-invocation namespace dir)
-        ns_dirs = os.listdir(ck)
+        # <dir>/<applicationId>/<namespace>/ — the appId level isolates
+        # concurrent driver processes sharing one dir)
+        app_dirs = os.listdir(ck)
+        assert app_dirs == [spark.sparkContext.applicationId]
+        ns_dirs = os.listdir(os.path.join(ck, app_dirs[0]))
         assert len(ns_dirs) == 1, ns_dirs
-        entries = set(os.listdir(os.path.join(ck, ns_dirs[0])))
+        entries = set(os.listdir(os.path.join(ck, app_dirs[0], ns_dirs[0])))
         assert "edges" in entries
         label_rounds = {e for e in entries if e.startswith("labels_")}
         assert 1 <= len(label_rounds) <= 2, entries
