@@ -93,7 +93,8 @@ def main() -> None:
         "events_daily", "doc_token_counts", "doc_quality_scores",
         "exact_dedup_stats", "cosine_topk", "formatted_fingerprints",
         "curation_keep_list", "lineage_health", "url_landing",
-        "gopher_word_stats", "c4_line_filter",
+        "gopher_word_stats", "c4_line_filter", "boilerplate_strip",
+        "c4_curation_keep_list",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
