@@ -238,7 +238,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
                         threshold: float = 0.5, id_col: str = "doc_id",
                         candidate_pairs: DataFrame | None = None,
                         hash_shingles: bool = True,
-                        checkpoint_shingles: bool = False,
+                        checkpoint_shingles: bool | str = False,
                         checkpoint_dir: str | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity.
 
@@ -269,12 +269,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
     on both paths and empty docs can still pair with each other.
     ``hash_shingles=False`` keeps the exact string formulation.
 
-    ``checkpoint_shingles=True`` materializes the exploded (doc,
-    shingle) stream ONCE before it fans out: the stream is consumed by
-    THREE separate exchanges (the df-cap count, the per-doc sizes, and
-    the intersection self-join), and without a cut each re-evaluates
-    the shingle explode from scratch (measured: the explode is ~3× the
-    jaccard stage's compute at 8 cores on the suite-3 corpus).
+    ``checkpoint_shingles`` cuts the exploded (doc, shingle) lineage,
+    which otherwise re-evaluates once per consumer (df-cap count,
+    per-doc sizes, intersection self-join). ``True``/``"cand"``
+    materializes the capped + candidate-filtered stream (small — the
+    candidate docs only); ``"both"``/``"raw"`` also materializes the
+    full pre-cap stream, which pays off on corpora that fit executor
+    storage comfortably but at ~10⁸ exploded rows the store's GC /
+    eviction pressure WORSENED 8-core wall in the suite-3 bench — the
+    candidate-only cut is the scale-safe default meaning of True.
     Construction becomes eager, so it's opt-in — the composed curation
     flow sets it; one-shot small-corpus oracle queries keep the lazy
     default. ``checkpoint_dir`` upgrades the cut to a reliable parquet
@@ -290,9 +293,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
         )
     else:
         sh = word_shingles(df, text_col, k, id_col)
+    # mode: False = no cuts; "cand" = cut only the capped+candidate-
+    # filtered stream (small; the default meaning of True for callers);
+    # "raw" / "both" = also cut the full exploded stream — only worth it
+    # when the corpus fits executor storage comfortably (at 2M docs the
+    # ~133M-row raw store caused GC/eviction pressure that WORSENED
+    # 8-core wall; measured in BENCH round 5)
+    mode = ("cand" if checkpoint_shingles is True else checkpoint_shingles)
     mat = (RoundMaterializer(checkpoint_dir)
-           if checkpoint_shingles or checkpoint_dir is not None else None)
-    if mat is not None:
+           if mode or checkpoint_dir is not None else None)
+    if mat is not None and mode in ("raw", "both"):
         sh = mat(sh, "shingles")
     n_docs_1row = df.select(F.count("*").alias("n_docs"))
     over_cap = (
@@ -318,11 +328,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
             .distinct()
         )
         sh = sh.join(cand_docs, "doc_id", "left_semi")
-        if mat is not None:
-            # second cut: the capped + candidate-filtered stream feeds
-            # both the sizes aggregate and the intersection self-join —
-            # without it each replays the anti/semi joins over the full
-            # shingle stream
+        if mat is not None and mode in ("cand", "both"):
+            # the capped + candidate-filtered stream feeds both the
+            # sizes aggregate and the intersection self-join — without
+            # a cut each replays the explode + anti/semi joins over the
+            # full shingle stream
             sh = mat(sh, "cand_shingles")
             mat.release("shingles")
 

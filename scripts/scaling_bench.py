@@ -510,7 +510,10 @@ measures the LSH-prefiltered scale variant. The composed job inherits
 each stage's scaling story: extraction has zero exchanges, the exact
 stage is one map-side-combined window on a 128-bit uniform key, LSH
 signatures fold per-row, and Jaccard scoring touches only
-candidate-doc shingles (semi-join pushdown).
+candidate-doc shingles (semi-join pushdown) over a once-materialized
+shingle stream (round-5: the exploded stream feeds three exchanges —
+df-cap, sizes, self-join — and is cut once instead of re-evaluated per
+consumer; measured −29% on the jaccard phase at 8 cores).
 """)
 
     # Symmetric section-preserving write: a run of ONE suite must never

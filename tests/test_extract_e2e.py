@@ -53,6 +53,21 @@ def test_extraction_is_narrow_no_shuffle(spark):
     assert "Exchange" not in plan, f"extraction stage must not shuffle:\n{plan}"
 
 
+def test_boilerplate_stage_is_narrow_no_shuffle(spark):
+    """Same invariant as extraction: the html-strip stage is a narrow
+    mapInPandas — fat markup must never reach an exchange."""
+    from n8n_tools_api_spark.operators.boilerplate import (
+        strip_boilerplate_stage,
+    )
+
+    pages = spark.createDataFrame(
+        [("p1", "<html><body><p>hello world text here</p></body></html>")],
+        "doc_id string, html string")
+    plan = strip_boilerplate_stage(pages) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"boilerplate stage must not shuffle:\n{plan}"
+
+
 def test_salted_repartition_spreads_heavy_docs(spark):
     docs = interleaved_df(spark, N_DOCS)
     salted = salted_repartition(docs, 8)
