@@ -491,18 +491,19 @@ corpus plus verbatim copies of every 25th base document
 | 4N  | 8  | {c8['seconds']} | {c8['docs_per_sec']} |
 | 16N | 32 | {c32['seconds']} | {c32['docs_per_sec']} |
 
-**Curation N→4N (2→8 cores): raw efficiency = {ceff_2_8};
-host-normalized = {ceff_norm}** (target >= 0.8:
-{"PASS" if max(ceff_2_8, ceff_norm) >= 0.8 else "FAIL"}). The
-normalization uses the same no-Spark control as suite 2, re-measured
-for this run: identical per-core work inflates {c_inflation}× when 8
-cores are busy vs 2 on this box (t2={ctl['t2']}s, t8={ctl['t8']}s) —
-an upper bound of {round(1 / c_inflation, 2)} on ANY raw 2→8
-efficiency measurable here; a real cluster's executors each bring
-their own memory bus. 8→32 cores: raw efficiency {ceff_8_32}
-(single-box DRAM ceiling, deeper — as in suites 1-2 — plus the
-components loop's fixed per-round job overhead, which a larger corpus
-amortizes).
+**Curation N→4N (2→8 cores): thread-mode raw efficiency =
+{ceff_2_8}** (thread-mode = `local[N]`, every executor thread sharing
+ONE JVM heap and GC — a known under-report of cluster scaling; the
+binding evidence for this suite is the process-isolated
+`local-cluster[N,2,·]` measurement in the Round-5 addendum /
+`scripts/lc_curation_bench.py`, separate executor JVMs on the same
+corpus). For context, the no-Spark hardware control measured identical
+per-core work inflating {c_inflation}× at 8 busy cores vs 2
+(t2={ctl['t2']}s, t8={ctl['t8']}s; host-normalized
+{ceff_norm} — reported, not relied on). 8→32 cores:
+raw efficiency {ceff_8_32} (single-box DRAM ceiling, deeper — as in
+suites 1-2 — plus the components loop's fixed per-round job overhead,
+which a larger corpus amortizes).
 
 Semantics of this exact flow are oracle-checked end-to-end (DuckDB
 replay chain) as `curation_keep_list` in CORRECTNESS; this suite
