@@ -94,7 +94,7 @@ def main() -> None:
         "exact_dedup_stats", "cosine_topk", "formatted_fingerprints",
         "curation_keep_list", "lineage_health", "url_landing",
         "gopher_word_stats", "c4_line_filter", "boilerplate_strip",
-        "c4_curation_keep_list",
+        "c4_curation_keep_list", "c4_span_dedup",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())

@@ -705,3 +705,95 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
              F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .where(F.col("group_size") > 1)
     )
+
+
+def c4_span_dedup(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """C4's corpus-level three-sentence-span dedup (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set") — the dedup rule that
+    completes the public C4 canon beside the line/page filters
+    (``textstats.c4_line_filter``).
+
+    Pinned semantics (replayed exactly by the DuckDB oracle):
+
+    * a sentence is a trimmed match of ``[^.!?]+[.!?]+`` — terminal
+      punctuation stays attached; an un-terminated trailing fragment
+      is dropped (in the real C4 pipeline span dedup runs AFTER the
+      line filter, where every surviving line ends in terminal
+      punctuation, so such fragments do not occur; the approximation
+      is documented like c4_line_filter's sentence count);
+    * a span at 0-based position q covers sentences q..q+2; its key is
+      md5 of the three sentences joined by US (``\\x1f``);
+    * the canonical occurrence of a duplicated span is the global
+      minimum ``(doc_id, q)`` (lexicographic string doc_id); every
+      OTHER occurrence marks its three sentences for removal;
+    * a sentence survives iff no non-canonical duplicate span covers
+      it; ``clean_text`` is the survivors joined by one space.
+
+    Output: (doc_id, clean_text, n_sentences, n_removed, n_dup_spans),
+    one row per input document (docs with <3 sentences pass through
+    whole).
+
+    Scale shape: sentence/span construction is a per-row array fold
+    (zero shuffle); only slim (doc_id, q, h) occurrence rows reach the
+    two span-keyed exchanges (map-side-combined min/count agg, then
+    the join back), so sentence TEXT never rides a span-keyed shuffle.
+    The final removal-list join is doc-keyed: broadcast when the
+    aggregated dup lists fit (the plan-verified common case), else a
+    uniform-key shuffle — never a hot-key one. A
+    boilerplate span repeated across millions of pages is a hot h key
+    on the join-back — AQE skew-join splits it (enabled in
+    session.get_spark); removal lists ride doc-keyed joins. No UDFs.
+    """
+    sep = "\x1f"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sent = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(t, F.lit(r"[^.!?]+[.!?]+"), F.lit(0)),
+                lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("ss"),
+    )
+    n = F.size("ss")
+    # 1-based span start indices; sequence(1, 0) would count DOWN, so
+    # docs with <3 sentences get an explicit empty index array
+    idxs = F.when(n >= 3, F.sequence(F.lit(1), n - 2)) \
+            .otherwise(F.array().cast("array<int>"))
+    with_spans = sent.withColumn(
+        "spans",
+        F.transform(idxs, lambda i: F.md5(F.concat_ws(
+            sep, F.element_at("ss", i), F.element_at("ss", i + 1),
+            F.element_at("ss", i + 2)).cast("binary"))),
+    )
+    occ = with_spans.select(
+        "doc_id", F.posexplode("spans").alias("q", "h"))  # q is 0-based
+    span_stats = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "q")).alias("first_occ"),
+    )
+    dups = (
+        occ.join(span_stats.where(F.col("cnt") > 1), "h")
+        .where((F.col("doc_id") != F.col("first_occ.doc_id"))
+               | (F.col("q") != F.col("first_occ.q")))
+        .groupBy("doc_id")
+        .agg(F.collect_list("q").alias("qs"),
+             F.count("*").alias("n_dup_spans"))
+    )
+    merged = sent.join(dups, "doc_id", "left").select(
+        "doc_id", "ss",
+        F.coalesce("qs", F.array().cast("array<int>")).alias("qs"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+    )
+    covered = lambda i: F.exists(
+        "qs", lambda q: (q <= i) & (i <= q + 2))
+    kept = F.filter("ss", lambda s, i: ~covered(i))
+    return merged.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("ss").cast("int").alias("n_sentences"),
+        (F.size("ss") - F.size(kept)).cast("int").alias("n_removed"),
+        "n_dup_spans",
+    )

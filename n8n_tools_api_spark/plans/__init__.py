@@ -26,6 +26,7 @@ _DRIVER_PRIORITY = [
     "stream_neardup_agreement",
     "stream_curation_agreement",
     "c4_curation_keep_list",
+    "c4_span_dedup",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",

@@ -2784,6 +2784,138 @@ ORDER BY doc_id
 """
 
 
+def c4_span_dedup_q(spark, sf_dir):
+    """C4 SPAN-DEDUP ORACLE (Raffel et al. 2020 §2.2's corpus-level
+    rule: discard all but one occurrence of any duplicated
+    three-sentence span) — over documents<250 plus planted branches:
+    20 ``spn_a_``/``spn_b_`` pairs sharing exactly one interior
+    3-sentence block (the b copy loses it, intro/outro survive), 15
+    ``rep_`` docs repeating their own 3-sentence block (internal
+    occurrence dedups against position 0), 25 ``cpy_`` verbatim copies
+    of base docs (fully span-covered copies empty out; <3-sentence
+    bases pass through whole). DuckDB replays sentence extraction,
+    span hashing, global first-occurrence ranking, and the covered-
+    sentence rebuild exactly."""
+    from n8n_tools_api_spark.operators.dedup import c4_span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 250).select(
+        did.alias("doc_id"), "text")
+    shared = F.concat(
+        F.lit("Shared first sentence number "), did, F.lit(" stays. "),
+        F.lit("Shared second sentence number "), did, F.lit(" stays. "),
+        F.lit("Shared third sentence number "), did, F.lit(" stays. "))
+    spn_a = docs.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("spn_a_"), did).alias("doc_id"),
+        F.concat(F.lit("Alpha intro sentence for document "), did,
+                 F.lit(". "), shared,
+                 F.lit("Alpha outro sentence for document "), did,
+                 F.lit(".")).alias("text"))
+    spn_b = docs.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("spn_b_"), did).alias("doc_id"),
+        F.concat(F.lit("Beta intro sentence for document "), did,
+                 F.lit("! "), shared,
+                 F.lit("Beta outro sentence for document "), did,
+                 F.lit("?")).alias("text"))
+    rep = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("rep_"), did).alias("doc_id"),
+        F.repeat(F.concat(
+            F.lit("Repeat one sentence number "), did, F.lit(" here. "),
+            F.lit("Repeat two sentence number "), did, F.lit(" here. "),
+            F.lit("Repeat three sentence number "), did,
+            F.lit(" here. ")), 2).alias("text"))
+    cpy = docs.where(F.col("doc_id") < 25).select(
+        F.concat(F.lit("cpy_"), did).alias("doc_id"), "text")
+    corpus = (base.unionByName(spn_a).unionByName(spn_b)
+              .unionByName(rep).unionByName(cpy))
+    return c4_span_dedup(corpus).orderBy("doc_id")
+
+
+C4_SPAN_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 250
+  UNION ALL
+  SELECT 'spn_a_' || CAST(doc_id AS VARCHAR),
+         'Alpha intro sentence for document ' || CAST(doc_id AS VARCHAR)
+         || '. '
+         || 'Shared first sentence number ' || CAST(doc_id AS VARCHAR)
+         || ' stays. '
+         || 'Shared second sentence number ' || CAST(doc_id AS VARCHAR)
+         || ' stays. '
+         || 'Shared third sentence number ' || CAST(doc_id AS VARCHAR)
+         || ' stays. '
+         || 'Alpha outro sentence for document ' || CAST(doc_id AS VARCHAR)
+         || '.'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'spn_b_' || CAST(doc_id AS VARCHAR),
+         'Beta intro sentence for document ' || CAST(doc_id AS VARCHAR)
+         || '! '
+         || 'Shared first sentence number ' || CAST(doc_id AS VARCHAR)
+         || ' stays. '
+         || 'Shared second sentence number ' || CAST(doc_id AS VARCHAR)
+         || ' stays. '
+         || 'Shared third sentence number ' || CAST(doc_id AS VARCHAR)
+         || ' stays. '
+         || 'Beta outro sentence for document ' || CAST(doc_id AS VARCHAR)
+         || '?'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'rep_' || CAST(doc_id AS VARCHAR),
+         repeat('Repeat one sentence number ' || CAST(doc_id AS VARCHAR)
+                || ' here. '
+                || 'Repeat two sentence number ' || CAST(doc_id AS VARCHAR)
+                || ' here. '
+                || 'Repeat three sentence number ' || CAST(doc_id AS VARCHAR)
+                || ' here. ', 2)
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'cpy_' || CAST(doc_id AS VARCHAR), text
+  FROM documents WHERE doc_id < 25
+),
+sent AS (
+  SELECT doc_id,
+         [s for s in
+          [trim(x) for x in
+           regexp_extract_all(COALESCE(text, ''), '[^.!?]+[.!?]+')]
+          if s != ''] AS ss
+  FROM corpus
+),
+occ AS (
+  SELECT doc_id, i - 1 AS q,
+         md5(ss[i] || chr(31) || ss[i+1] || chr(31) || ss[i+2]) AS h
+  FROM sent, UNNEST(generate_series(1, greatest(len(ss) - 2, 0))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, q) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cnt
+  FROM occ
+),
+rem AS (
+  SELECT doc_id, list(q) AS qs, COUNT(*) AS n_dup
+  FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT s.doc_id, ss,
+         [ss[j] for j in generate_series(1, len(ss))
+          if len([q for q in COALESCE(qs, [])
+                  if q <= j - 1 AND j - 1 <= q + 2]) = 0] AS kept,
+         COALESCE(n_dup, 0) AS n_dup
+  FROM sent s LEFT JOIN rem r USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(ss) AS INT) AS n_sentences,
+       CAST(len(ss) - len(kept) AS INT) AS n_removed,
+       CAST(n_dup AS INT) AS n_dup_spans
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
 def curation_quality_keep_list(spark, sf_dir):
     """QUALITY-FIRST CURATION ORACLE: the Gopher gates run on raw text
     BEFORE the curation flow (the order real pipelines use — a
@@ -3382,6 +3514,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
                                    CURATION_QUALITY_SQL),
     "gopher_word_stats": (gopher_word_stats_q, GOPHER_WORD_SQL),
     "c4_line_filter": (c4_line_filter_q, C4_SQL),
+    "c4_span_dedup": (c4_span_dedup_q, C4_SPAN_SQL),
     "boilerplate_strip": (boilerplate_strip_q, BOILERPLATE_SQL),
     "c4_curation_keep_list": (c4_curation_keep_list_q, C4_CURATION_SQL),
     "stream_neardup_agreement": (stream_neardup_agreement,

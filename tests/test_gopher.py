@@ -131,3 +131,70 @@ class TestC4LineFilter:
         assert out["ok"]["c4_keep"] is True
         e = out["empty"]
         assert e["clean_text"] == "" and e["c4_keep"] is False
+
+
+class TestC4SpanDedup:
+    def _run(self, spark, rows):
+        from n8n_tools_api_spark.operators.dedup import c4_span_dedup
+
+        return {r["doc_id"]: r for r in c4_span_dedup(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()}
+
+    def test_cross_doc_span_removed_from_later_doc_only(self, spark):
+        shared = "Shared one stays. Shared two stays. Shared three stays."
+        out = self._run(spark, [
+            ("a", "Alpha intro sentence. " + shared + " Alpha outro sentence."),
+            ("b", "Beta intro sentence! " + shared + " Beta outro sentence?"),
+        ])
+        # 'a' is the canonical (min doc_id) occurrence — untouched
+        assert out["a"]["n_removed"] == 0 and out["a"]["n_dup_spans"] == 0
+        assert "Shared one stays." in out["a"]["clean_text"]
+        # 'b' loses exactly the three shared sentences
+        b = out["b"]
+        assert b["n_sentences"] == 5 and b["n_removed"] == 3
+        assert b["n_dup_spans"] == 1
+        assert b["clean_text"] == "Beta intro sentence! Beta outro sentence?"
+
+    def test_internal_repetition_dedups_against_position_zero(self, spark):
+        block = "Rep one here. Rep two here. Rep three here. "
+        out = self._run(spark, [("r", block * 2)])
+        r = out["r"]
+        assert r["n_sentences"] == 6 and r["n_removed"] == 3
+        assert r["clean_text"] == block.strip()
+
+    def test_verbatim_copy_fully_covered_empties_out(self, spark):
+        text = "First sentence here. Second sentence here. Third one here. Fourth one here."
+        out = self._run(spark, [("orig", text), ("zcopy", text)])
+        assert out["orig"]["n_removed"] == 0
+        z = out["zcopy"]
+        # every sentence of the copy is covered by some duplicated span
+        assert z["clean_text"] == "" and z["n_removed"] == 4
+        assert z["n_dup_spans"] == 2  # spans at q=0 and q=1
+
+    def test_short_null_and_fragment_docs_pass_through(self, spark):
+        out = self._run(spark, [
+            ("n", None),
+            ("two", "Only two sentences. Here they are."),
+            ("frag", "Full stop here. Another stop here! Question here? tail fragment"),
+        ])
+        assert out["n"]["clean_text"] == "" and out["n"]["n_sentences"] == 0
+        assert out["two"]["n_removed"] == 0 and out["two"]["n_sentences"] == 2
+        f = out["frag"]
+        # the un-terminated tail is dropped by sentence extraction
+        assert f["n_sentences"] == 3 and "tail fragment" not in f["clean_text"]
+        assert f["n_removed"] == 0
+
+    def test_partition_layout_invariance(self, spark):
+        from n8n_tools_api_spark.operators.dedup import c4_span_dedup
+
+        shared = "Same span sentence one. Same span sentence two. Same span sentence three."
+        rows = [(f"d{i:03d}", f"Unique opener number {i}. " + shared)
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        a = sorted(map(tuple, c4_span_dedup(df.repartition(2)).collect()))
+        b = sorted(map(tuple, c4_span_dedup(df.repartition(13)).collect()))
+        assert a == b
+        # exactly one canonical survivor of the shared span
+        keepers = [r for r in a if "Same span sentence one." in r[1]]
+        assert len(keepers) == 1 and keepers[0][0] == "d000"
