@@ -220,3 +220,65 @@ def c4_curation_keep_list(docs: DataFrame, use_lsh: bool = False,
                                  threshold=threshold, k=k,
                                  checkpoint_dir=checkpoint_dir) \
         .unionByName(rejected)
+
+
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def canonical_host(url) -> "F.Column":
+    """Canonical host of a URL column, pinned (oracle-replayed):
+    lowercase the whole URL, take the authority of a scheme://
+    match, strip one leading ``www.`` and a trailing ``:port``;
+    scheme-less / unparseable URLs (and NULLs) canonicalize to ``''``
+    and participate in capping as one pseudo-host."""
+    u = F.lower(F.coalesce(url, F.lit("")))
+    host = F.regexp_extract(u, HOST_PATTERN, 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def per_host_cap(docs: DataFrame, cap: int, url_col: str = "url",
+                 quality_col: str | None = None, id_col: str = "doc_id",
+                 salt_buckets: int = 16) -> DataFrame:
+    """Cap the corpus at ``cap`` documents per canonical host, keeping
+    the best — the host-balancing stage of the public web-curation
+    canon (CCNet/RefinedWeb/FineWeb all bound per-domain volume so a
+    handful of giant hosts can't dominate the training mix).
+
+    Ranking within a host is a pinned total order: ``quality_col``
+    DESCENDING (NULLs last) when given, then ``id_col`` ASCENDING as
+    the tiebreak; with no quality column, plain ``id_col`` order.
+    Output: the kept rows only — all input columns plus ``host`` and
+    ``host_rank`` (1-based within the host's kept set).
+
+    Scale shape — the naive formulation (one row_number window keyed
+    by host) sorts EVERY row of a giant host in one task; a single
+    100M-page host stalls the stage. This runs the classic two-phase
+    top-k instead: a first window keyed by (host, salt) — salt =
+    crc32(id) % ``salt_buckets``, deterministic — cuts each host to at
+    most salt_buckets*cap rows (any global top-``cap`` row is
+    necessarily in its bucket's top-``cap``, so the cut is lossless),
+    then the global per-host window ranks the bounded survivors. Both
+    exchanges carry slim rows; no host key ever exceeds
+    salt_buckets*cap rows in the second sort.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = [F.col("_hq").desc_nulls_last(), F.col(id_col).asc()] \
+        if quality_col is not None else [F.col(id_col).asc()]
+    with_host = docs.withColumn("host", canonical_host(F.col(url_col)))
+    if quality_col is not None:
+        with_host = with_host.withColumn("_hq", F.col(quality_col))
+    else:
+        with_host = with_host.withColumn("_hq", F.lit(None))
+    with_host = with_host.withColumn(
+        "_salt", F.crc32(F.col(id_col).cast("string")) % salt_buckets)
+    local_w = Window.partitionBy("host", "_salt").orderBy(*order)
+    pre = with_host.withColumn("_lr", F.row_number().over(local_w)) \
+        .where(F.col("_lr") <= cap)
+    global_w = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("host_rank", F.row_number().over(global_w))
+        .where(F.col("host_rank") <= cap)
+        .drop("_lr", "_salt", "_hq")
+    )

@@ -27,6 +27,8 @@ _DRIVER_PRIORITY = [
     "stream_curation_agreement",
     "c4_curation_keep_list",
     "c4_span_dedup",
+    "pii_redaction",
+    "host_cap_keep_list",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -42,6 +44,8 @@ _DRIVER_PRIORITY = [
 # flow queries (extraction, curation, dedup, media, streaming, lineage)
 # and the multi-join TPC-H analogs stay inside the window.
 _DRIVER_TAIL = [
+    "embedding_label_stats",
+    "q4_late_shipment_orders",
     "top_orders_by_price",
     "customer_acctbal_rank",
     "nation_revenue_rollup",

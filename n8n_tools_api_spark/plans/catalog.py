@@ -2916,6 +2916,187 @@ ORDER BY doc_id
 """
 
 
+def pii_redaction_q(spark, sf_dir):
+    """PII-REDACTION ORACLE (Dolma-style masking, operators/pii.py) —
+    over documents<400 with planted PII per doc_id % 5: 0 email, 1
+    parenthesized phone, 2 dotted-quad IP, 3 ALL THREE in one line
+    with a digits-only email local part (pins the sequential stage
+    order: the phone-shaped digit run inside the email must be masked
+    as EMAIL, never double-counted as PHONE), 4 untouched; plus 8
+    ``nul_`` NULL-text rows. DuckDB replays the same Java∩RE2 regex
+    subset with 'g'-flag replaces in the same order."""
+    from n8n_tools_api_spark.operators.pii import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 5
+    planted = (
+        F.when(b == 0, F.concat(
+            F.lit(" Contact alice"), did, F.lit("@example.com now.")))
+        .when(b == 1, F.concat(
+            F.lit(" Call (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" today.")))
+        .when(b == 2, F.concat(
+            F.lit(" Server 192.168."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 is up.")))
+        .when(b == 3, F.concat(
+            F.lit(" Reach 123.456.7890@mail.test or 555-867-5309 at 10.0.0."),
+            (F.col("doc_id") % 9).cast("string"), F.lit(" soon.")))
+        .otherwise(F.lit("")))
+    base = docs.where(F.col("doc_id") < 400).select(
+        did.alias("doc_id"), F.concat("text", planted).alias("text"))
+    nulls = docs.where(F.col("doc_id") < 8).select(
+        F.concat(F.lit("nul_"), did).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"))
+    return (redact_pii(base.unionByName(nulls))
+            .select("doc_id", F.md5(F.col("redacted_text").cast("binary"))
+                    .alias("redacted_md5"),
+                    "n_emails", "n_phones", "n_ips", "pii_total", "has_pii")
+            .orderBy("doc_id"))
+
+
+PII_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text || CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN ' Contact alice' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now.'
+           WHEN 1 THEN ' Call (555) 123-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' today.'
+           WHEN 2 THEN ' Server 192.168.' || CAST(doc_id % 250 AS VARCHAR)
+                       || '.7 is up.'
+           WHEN 3 THEN ' Reach 123.456.7890@mail.test or 555-867-5309 at 10.0.0.'
+                       || CAST(doc_id % 9 AS VARCHAR) || ' soon.'
+           ELSE ''
+         END AS text
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT 'nul_' || CAST(doc_id AS VARCHAR), NULL
+  FROM documents WHERE doc_id < 8
+),
+s0 AS (SELECT doc_id, COALESCE(text, '') AS t FROM corpus),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}'))
+           AS n_emails,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}',
+             '|||EMAIL_ADDRESS|||', 'g') AS t
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))
+           AS n_phones,
+         regexp_replace(t, '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}',
+             '|||PHONE_NUMBER|||', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+         regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+             '|||IP_ADDRESS|||', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, md5(t) AS redacted_md5,
+       CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       CAST(n_ips AS INT) AS n_ips,
+       CAST(n_emails + n_phones + n_ips AS INT) AS pii_total,
+       (n_emails + n_phones + n_ips) > 0 AS has_pii
+FROM s3
+ORDER BY doc_id
+"""
+
+
+def host_cap_keep_list(spark, sf_dir):
+    """PER-HOST CAP ORACLE (operators/curation.py::per_host_cap) —
+    documents<400 with url = https://<source>.example.com/doc/<id>
+    (20 hosts competing under cap=7 on n_chars quality), plus planted
+    canonicalization branches: 40 ``w_`` docs whose UPPERCASE
+    WWW.<source>:8443 urls canonicalize INTO the same host pool, 20
+    ``x_`` unparseable urls and 10 ``n_`` NULL urls (both → the ''
+    pseudo-host, capped like any host). The two-phase salted cut is
+    semantically invisible (lossless); DuckDB replays the single
+    global window."""
+    from n8n_tools_api_spark.operators.curation import per_host_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 400).select(
+        did.alias("doc_id"),
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"), did).alias("url"),
+        F.col("n_chars").cast("bigint").alias("quality"))
+    www = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("w_"), did).alias("doc_id"),
+        F.concat(F.lit("HTTPS://WWW."), F.upper("source"),
+                 F.lit(".EXAMPLE.COM:8443/alt/"), did).alias("url"),
+        (F.col("n_chars").cast("bigint") + 10000).alias("quality"))
+    bad = docs.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("x_"), did).alias("doc_id"),
+        F.concat(F.lit("not a url "), did).alias("url"),
+        F.col("n_chars").cast("bigint").alias("quality"))
+    nul = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("n_"), did).alias("doc_id"),
+        F.lit(None).cast("string").alias("url"),
+        F.col("n_chars").cast("bigint").alias("quality"))
+    corpus = base.unionByName(www).unionByName(bad).unionByName(nul)
+    kept = per_host_cap(corpus, cap=7, url_col="url",
+                        quality_col="quality", salt_buckets=4)
+    return kept.select("doc_id", "host", "host_rank", "quality")         .orderBy("host", "host_rank")
+
+
+HOST_CAP_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(n_chars AS BIGINT) AS quality
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT 'w_' || CAST(doc_id AS VARCHAR),
+         'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:8443/alt/'
+           || CAST(doc_id AS VARCHAR),
+         CAST(n_chars AS BIGINT) + 10000
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT 'x_' || CAST(doc_id AS VARCHAR),
+         'not a url ' || CAST(doc_id AS VARCHAR),
+         CAST(n_chars AS BIGINT)
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'n_' || CAST(doc_id AS VARCHAR), NULL, CAST(n_chars AS BIGINT)
+  FROM documents WHERE doc_id < 10
+),
+hosted AS (
+  SELECT doc_id, quality,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(lower(COALESCE(url, '')),
+                            '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+             '^www\.', ''),
+           ':\d+$', '') AS host
+  FROM corpus
+),
+ranked AS (
+  SELECT doc_id, host, quality,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY quality DESC NULLS LAST, doc_id)
+           AS host_rank
+  FROM hosted
+)
+SELECT doc_id, host, CAST(host_rank AS INT) AS host_rank, quality
+FROM ranked WHERE host_rank <= 7
+ORDER BY host, host_rank
+"""
+
+
+
 def curation_quality_keep_list(spark, sf_dir):
     """QUALITY-FIRST CURATION ORACLE: the Gopher gates run on raw text
     BEFORE the curation flow (the order real pipelines use — a
@@ -3515,6 +3696,8 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "gopher_word_stats": (gopher_word_stats_q, GOPHER_WORD_SQL),
     "c4_line_filter": (c4_line_filter_q, C4_SQL),
     "c4_span_dedup": (c4_span_dedup_q, C4_SPAN_SQL),
+    "pii_redaction": (pii_redaction_q, PII_SQL),
+    "host_cap_keep_list": (host_cap_keep_list, HOST_CAP_SQL),
     "boilerplate_strip": (boilerplate_strip_q, BOILERPLATE_SQL),
     "c4_curation_keep_list": (c4_curation_keep_list_q, C4_CURATION_SQL),
     "stream_neardup_agreement": (stream_neardup_agreement,
