@@ -282,3 +282,87 @@ def per_host_cap(docs: DataFrame, cap: int, url_col: str = "url",
         .where(F.col("host_rank") <= cap)
         .drop("_lr", "_salt", "_hq")
     )
+
+
+def url_blocklist_filter(docs: DataFrame, blocked_domains: DataFrame,
+                         blocked_terms: list[str],
+                         url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """URL-level corpus filtering — the first gate of the public
+    web-curation canon (C4, Raffel et al. 2020 §2.2 drops pages whose
+    URL hits a word blocklist; RefinedWeb, Penedo et al. 2023 §3.1
+    filters by a curated domain blocklist plus URL term scoring;
+    FineWeb keeps the same two-tier shape).
+
+    Pinned semantics (replayed by the ``url_blocklist`` oracle):
+
+    * ``host`` is :func:`canonical_host` of the URL (lowercase,
+      authority, one leading ``www.`` stripped, trailing ``:port``
+      stripped; unparseable/NULL → ``''``);
+    * a document is ``blocked_domain`` when the host OR any of its
+      dot-suffixes (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) appears in
+      ``blocked_domains`` — subdomains of a blocked domain are blocked,
+      exactly like a registrable-domain denylist;
+    * otherwise ``blocked_term`` when the lowercased raw URL contains
+      any entry of ``blocked_terms`` as a substring;
+    * otherwise ``kept``. ``matched`` reports the lexicographically
+      smallest matching domain (or term) so ties are deterministic.
+
+    Scale shape: ``blocked_terms`` is a small curated list (hundreds)
+    and is evaluated PER ROW as a literal-array ``exists`` — zero
+    shuffle, rides the scan. ``blocked_domains`` can be millions of
+    entries (UT1-class lists), so it is a broadcast hash join against
+    the exploded suffix frame (≤ #labels ≈ 5 slim rows per doc); the
+    single exchange is the doc-keyed map-side-combined rollup of those
+    slim (id, url, host, suffix-match) rows — no fat column ever moves,
+    and the output itself is a slim disposition frame.
+    """
+    u = F.lower(F.coalesce(F.col(url_col), F.lit("")))
+    terms = sorted(set(blocked_terms))
+    if terms:
+        term_hits = F.sort_array(F.filter(
+            F.array(*[F.lit(t) for t in terms]),
+            lambda t: F.contains(u, t),
+        ))
+        matched_term = F.when(F.size(term_hits) > 0, term_hits[0])
+    else:
+        matched_term = F.lit(None).cast("string")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        canonical_host(F.col(url_col)).alias("host"),
+        matched_term.alias("_term"),
+    )
+    parts = F.split(F.col("host"), r"\.")
+    suffixes = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+        ),
+        lambda s: s != "",
+    )
+    exploded = base.select(
+        "doc_id", "url", "host", "_term",
+        F.explode_outer(suffixes).alias("_suffix"),
+    )
+    joined = exploded.join(
+        F.broadcast(blocked_domains.select(
+            F.col("domain").alias("_suffix")).distinct()
+         .withColumn("_dhit", F.lit(1))),
+        "_suffix", "left",
+    )
+    rolled = (
+        joined.groupBy("doc_id", "url", "host", "_term")
+        .agg(F.min(F.when(F.col("_dhit") == 1, F.col("_suffix")))
+             .alias("_domain"))
+    )
+    status = (
+        F.when(F.col("_domain").isNotNull(), F.lit("blocked_domain"))
+        .when(F.col("_term").isNotNull(), F.lit("blocked_term"))
+        .otherwise(F.lit("kept"))
+    )
+    return rolled.select(
+        "doc_id", "url", "host",
+        status.alias("status"),
+        F.coalesce(F.col("_domain"), F.col("_term")).alias("matched"),
+    )

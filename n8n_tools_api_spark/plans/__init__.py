@@ -29,6 +29,8 @@ _DRIVER_PRIORITY = [
     "c4_span_dedup",
     "pii_redaction",
     "host_cap_keep_list",
+    "benchmark_decontam",
+    "url_blocklist",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -44,6 +46,9 @@ _DRIVER_PRIORITY = [
 # flow queries (extraction, curation, dedup, media, streaming, lineage)
 # and the multi-join TPC-H analogs stay inside the window.
 _DRIVER_TAIL = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_order_distribution",
     "embedding_label_stats",
     "q4_late_shipment_orders",
     "top_orders_by_price",

@@ -3637,6 +3637,232 @@ ORDER BY doc_id
 
 # ---------------------------------------------------------------------------
 # registry
+def benchmark_decontam_q(spark, sf_dir):
+    """BENCHMARK-DECONTAMINATION ORACLE: the contamination-control
+    stage of the public LLM-data canon (GPT-3 App. C / Gopher §A.3 /
+    Llama 2 §A.6 — drop the training page that shares a long word
+    n-gram with the eval set), run with the paper constant n=13 over
+    the sf documents corpus against a benchmark BUILT IN-QUERY:
+
+    * every doc_id % 10 == 7 document with ≥ 25 words donates words
+      5..25 as one eval row — its source doc (and any verbatim twin in
+      the corpus) MUST surface with nine 13-gram hits;
+    * five clean probe rows ('benchmark probe item i zqxwv') exercise
+      the short-row whole-sequence gram and must match nothing;
+    * a NULL-text doc and a 3-word doc pin the wordless (n_grams=0)
+      and short-doc (single whole-text gram) conventions.
+
+    DuckDB replays the whole flow — tokenization, gram fold, distinct
+    benchmark set, overlap counts — closed-form from the same columns.
+    The Spark plan is the scale shape documented in
+    operators/decontaminate.py: broadcast benchmark grams, per-row
+    distinct-gram fold, only HITTING grams reach the doc-keyed count."""
+    from n8n_tools_api_spark.operators.decontaminate import (
+        ngram_decontaminate,
+    )
+
+    raw = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    docs = raw.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = spark.range(1).select(
+        F.lit("null_doc").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+    ).unionByName(spark.range(1).select(
+        F.lit("short_doc").alias("doc_id"),
+        F.lit("alpha beta gamma").alias("text"),
+    ))
+    corpus = docs.unionByName(planted)
+
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                r"\s+"),
+        lambda w: w != "",
+    )
+    spans = (
+        raw.where(F.col("doc_id") % 10 == 7)
+        .select(words.alias("_w"))
+        .where(F.size("_w") >= 25)
+        .select(F.array_join(F.slice("_w", 5, 21), " ").alias("text"))
+    )
+    probes = spark.range(5).select(
+        F.concat(F.lit("benchmark probe item "), F.col("id").cast("string"),
+                 F.lit(" zqxwv")).alias("text"))
+    bench = spans.unionByName(probes)
+    return ngram_decontaminate(corpus, bench, n=13).orderBy("doc_id")
+
+
+# Full DuckDB replay: same tokenization (lower/trim/\s+ split, empty
+# tokens dropped), same gram fold (13-grams, short-doc whole-sequence
+# convention, wordless → no grams), same benchmark construction
+# (word-slice parity: w[5:25] ≡ Spark slice(words, 5, 21)), distinct
+# overlap counts via a gram equi-join.
+BENCH_DECONTAM_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 600
+  UNION ALL SELECT 'null_doc', NULL
+  UNION ALL SELECT 'short_doc', 'alpha beta gamma'
+),
+bwords AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+           x -> x <> '') AS w
+  FROM documents WHERE doc_id < 600 AND doc_id % 10 = 7
+),
+bench_rows AS (
+  SELECT array_to_string(w[5:25], ' ') AS text FROM bwords WHERE len(w) >= 25
+  UNION ALL
+  SELECT 'benchmark probe item ' || CAST(i AS VARCHAR) || ' zqxwv'
+  FROM generate_series(0, 4) t(i)
+),
+bgram_l AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+           x -> x <> '') AS w
+  FROM bench_rows
+),
+bgrams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(CASE
+      WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+      WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+      ELSE [array_to_string(w[i:i+12], ' ')
+            for i in generate_series(1, len(w) - 12)] END) AS gram
+    FROM bgram_l)
+  WHERE gram <> ''
+),
+dwords AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+           x -> x <> '') AS w
+  FROM corpus
+),
+dgrams AS (
+  SELECT doc_id, list_distinct(CASE
+    WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+    ELSE [array_to_string(w[i:i+12], ' ')
+          for i in generate_series(1, len(w) - 12)] END) AS g
+  FROM dwords
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, unnest(g) AS gram FROM dgrams) d
+  JOIN bgrams USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(n_hits, 0) > 0 AS contaminated
+FROM dgrams d LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def url_blocklist_q(spark, sf_dir):
+    """URL-BLOCKLIST ORACLE: the first gate of the public web-curation
+    canon (C4 §2.2 URL word blocklist; RefinedWeb §3.1 domain denylist
+    + URL term filtering) over URLs BUILT IN-QUERY from doc_id, one of
+    eight shapes per doc_id % 8:
+
+      0  https://www.badsite.org/casino/i   → blocked_domain (www strip;
+         domain BEATS the 'casino' term — priority pinned)
+      1  http://sub.badsite.org:8080/xi     → blocked_domain (dot-suffix
+         match + port strip)
+      2  https://goodsite.com/casino-review-i → blocked_term 'casino'
+      3  HTTPS://GoodSite.COM/Pagei?q=POKER → blocked_term 'poker'
+         (case-folding pinned)
+      4  https://mytracker.net/pagei        → kept (label-boundary: the
+         'tracker.net' entry must NOT match host 'mytracker.net')
+      5  ftp://tracker.net/datai            → blocked_domain (non-http
+         scheme still parses)
+      6  not a url i                        → kept (host '')
+      7  NULL                               → kept
+
+    Blocklists: domains {badsite.org, tracker.net}, terms {casino,
+    poker, xxx}. DuckDB replays host canonicalization, suffix
+    generation, and both match tiers closed-form."""
+    from n8n_tools_api_spark.operators.curation import url_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    i = F.col("doc_id").cast("string")
+    shape = (F.col("doc_id") % 8).cast("int")
+    url = (
+        F.when(shape == 0, F.concat(F.lit("https://www.badsite.org/casino/"), i))
+        .when(shape == 1, F.concat(F.lit("http://sub.badsite.org:8080/x"), i))
+        .when(shape == 2, F.concat(F.lit("https://goodsite.com/casino-review-"), i))
+        .when(shape == 3, F.concat(F.lit("HTTPS://GoodSite.COM/Page"), i,
+                                   F.lit("?q=POKER")))
+        .when(shape == 4, F.concat(F.lit("https://mytracker.net/page"), i))
+        .when(shape == 5, F.concat(F.lit("ftp://tracker.net/data"), i))
+        .when(shape == 6, F.concat(F.lit("not a url "), i))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    corpus = docs.select(i.alias("doc_id"), url.alias("url"))
+    domains = spark.range(1).select(
+        F.explode(F.array(F.lit("badsite.org"), F.lit("tracker.net")))
+        .alias("domain"))
+    return url_blocklist_filter(
+        corpus, domains, ["casino", "poker", "xxx"]).orderBy("doc_id")
+
+
+URL_BLOCKLIST_SQL = r"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'https://www.badsite.org/casino/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'http://sub.badsite.org:8080/x' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://goodsite.com/casino-review-' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'HTTPS://GoodSite.COM/Page' || CAST(doc_id AS VARCHAR)
+                  || '?q=POKER'
+      WHEN 4 THEN 'https://mytracker.net/page' || CAST(doc_id AS VARCHAR)
+      WHEN 5 THEN 'ftp://tracker.net/data' || CAST(doc_id AS VARCHAR)
+      WHEN 6 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      ELSE NULL END AS url
+  FROM documents WHERE doc_id < 400
+),
+hosted AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(lower(COALESCE(url, '')),
+                            '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+             '^www\.', ''),
+           ':\d+$', '') AS host
+  FROM src
+),
+suff AS (
+  SELECT doc_id, unnest([array_to_string(p[i:len(p)], '.')
+                         for i in generate_series(1, len(p))]) AS s
+  FROM (SELECT doc_id, string_split(host, '.') AS p FROM hosted)
+),
+dmatch AS (
+  SELECT doc_id, min(s) AS d
+  FROM suff
+  JOIN (VALUES ('badsite.org'), ('tracker.net')) AS domains(domain)
+    ON s = domain AND s <> ''
+  GROUP BY doc_id
+),
+tmatch AS (
+  SELECT doc_id, min(term) AS t
+  FROM src
+  JOIN (VALUES ('casino'), ('poker'), ('xxx')) AS terms(term)
+    ON contains(lower(COALESCE(url, '')), term)
+  GROUP BY doc_id
+)
+SELECT h.doc_id, h.url, h.host,
+       CASE WHEN d IS NOT NULL THEN 'blocked_domain'
+            WHEN t IS NOT NULL THEN 'blocked_term'
+            ELSE 'kept' END AS status,
+       COALESCE(d, t) AS matched
+FROM hosted h
+LEFT JOIN dmatch USING (doc_id)
+LEFT JOIN tmatch USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -3704,4 +3930,6 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
                                  STREAM_NEARDUP_AGREEMENT_SQL),
     "stream_curation_agreement": (stream_curation_agreement,
                                   STREAM_CURATION_AGREEMENT_SQL),
+    "benchmark_decontam": (benchmark_decontam_q, BENCH_DECONTAM_SQL),
+    "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
 }
