@@ -31,6 +31,7 @@ _DRIVER_PRIORITY = [
     "host_cap_keep_list",
     "benchmark_decontam",
     "url_blocklist",
+    "mixture_sample_report",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -46,6 +47,7 @@ _DRIVER_PRIORITY = [
 # flow queries (extraction, curation, dedup, media, streaming, lineage)
 # and the multi-join TPC-H analogs stay inside the window.
 _DRIVER_TAIL = [
+    "q15_top_supplier",
     "q7_volume_shipping",
     "q8_market_share",
     "q13_customer_order_distribution",

@@ -3863,6 +3863,75 @@ ORDER BY doc_id
 """
 
 
+def mixture_sample_report_q(spark, sf_dir):
+    """MIXTURE-SAMPLING ORACLE: the deterministic stratified sampler
+    (operators/sampling.py — Pile/CCNet/FineWeb-style per-stratum
+    keep rates, engine-portable md5-hex-prefix keys) audited per
+    language stratum over documents ∪ planted 'xx' (unlisted → default
+    rate) and NULL-lang rows (NULL stratum → default rate).
+
+    Rates pin every branch: en 1.0 (sentinel 'g' threshold, keeps
+    all), de 0.5, fr 0.25, es 0.1 ('19999999' — a non-round
+    threshold), zh 0.0 (keeps none), default 0.75. DuckDB replays the
+    identical md5-prefix comparison — lowercase-hex string order is
+    numeric order, so the two engines agree bit-for-bit and the
+    realized per-stratum counts are exact, not statistical."""
+    from n8n_tools_api_spark.operators.sampling import mixture_report
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    corpus = docs.select(i.alias("doc_id"), "lang").unionByName(
+        docs.where(F.col("doc_id") < 20).select(
+            F.concat(F.lit("x_"), i).alias("doc_id"),
+            F.lit("xx").alias("lang"))
+    ).unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            F.concat(F.lit("n_"), i).alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"))
+    )
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.0}
+    return mixture_report(corpus, rates, strata_col="lang", seed=42,
+                          default_rate=0.75) \
+        .orderBy(F.col("stratum").asc_nulls_first())
+
+
+# Threshold literals are sample_threshold_hex() of the query's rates
+# (pinned by tests/test_sampling.py); CASE-on-NULL falls to ELSE in
+# both engines, matching the sampler's default_rate branch.
+MIXTURE_SAMPLE_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents
+  UNION ALL
+  SELECT 'x_' || CAST(doc_id AS VARCHAR), 'xx'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'n_' || CAST(doc_id AS VARCHAR), NULL
+  FROM documents WHERE doc_id < 10
+),
+keyed AS (
+  SELECT lang,
+         substr(md5('42:' || COALESCE(doc_id, '')), 1, 8) AS k,
+         CASE lang WHEN 'en' THEN 'g'
+                   WHEN 'de' THEN '80000000'
+                   WHEN 'fr' THEN '40000000'
+                   WHEN 'es' THEN '19999999'
+                   WHEN 'zh' THEN '00000000'
+                   ELSE 'c0000000' END AS threshold
+  FROM corpus
+)
+SELECT lang AS stratum,
+       threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k < threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(SUM(CASE WHEN k < threshold THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS realized_rate
+FROM keyed
+GROUP BY lang, threshold
+ORDER BY stratum NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -3932,4 +4001,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
                                   STREAM_CURATION_AGREEMENT_SQL),
     "benchmark_decontam": (benchmark_decontam_q, BENCH_DECONTAM_SQL),
     "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
+    "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
 }
