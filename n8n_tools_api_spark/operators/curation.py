@@ -366,3 +366,118 @@ def url_blocklist_filter(docs: DataFrame, blocked_domains: DataFrame,
         status.alias("status"),
         F.coalesce(F.col("_domain"), F.col("_term")).alias("matched"),
     )
+
+
+def web_curation_keep_list(docs: DataFrame, blocked_domains: DataFrame,
+                           blocked_terms: list[str], bench: DataFrame,
+                           host_cap: int = 1000, sample_rate: float = 1.0,
+                           sample_seed: int = 42, use_lsh: bool = False,
+                           threshold: float = 0.5, k: int = 5,
+                           n_gram: int = 13,
+                           checkpoint_dir: str | None = None) -> DataFrame:
+    """The COMPLETE public web-curation pipeline in canon stage order —
+    what C4/RefinedWeb/FineWeb actually run end-to-end, one disposition
+    per input page::
+
+        (doc_id, status, canonical)
+
+    1. URL gate (:func:`url_blocklist_filter`) — cheapest first, before
+       any text is touched → ``rejected_url``;
+    2. C4 line cleaning + page gate on survivors → ``rejected_c4``;
+       every later stage consumes the C4-CLEANED text;
+    3. Gopher repetition gate → ``rejected_quality``;
+    4. exact + near dedup (the oracle-checked curation chain) →
+       ``exact_dup`` / ``near_dup`` with their canonicals;
+    5. per-host cap (:func:`per_host_cap`, rank = doc_id ascending) on
+       the kept canonicals → ``rejected_host_cap``;
+    6. benchmark decontamination
+       (:func:`~n8n_tools_api_spark.operators.decontaminate.ngram_decontaminate`
+       on the cleaned text, paper constant n=13) → ``contaminated``;
+    7. deterministic mixture downsampling (md5-prefix keys from
+       operators/sampling.py) → ``sampled_out`` vs final ``kept``
+       (canonical = the doc itself).
+
+    Oracle-checked end-to-end: plans/catalog.py ``web_curation_keep_list``
+    chains the URL replay → C4 replay → Gopher replay → curation replay
+    → host-cap window → decontamination grams → md5 sampling in ONE
+    DuckDB query.
+
+    Scale shape: stage order IS the scale argument — each gate runs on
+    the cheapest possible frame (URL gate on slim (id, url) rows before
+    any text stage; quality gates per-row on text; dedup on hashes and
+    shingles; cap/decontam/sampling on slim survivor frames). Fat text
+    crosses a join only where a stage genuinely needs it (C4 input,
+    decontam input), always keyed by doc_id with a slim other side —
+    broadcast when it fits, AQE otherwise. Every multiply-consumed
+    frame is cut via RoundMaterializer so no upstream stage executes
+    twice; ``checkpoint_dir`` upgrades all of them to cluster-reliable
+    parquet rounds.
+    """
+    from n8n_tools_api_spark.operators.decontaminate import (
+        ngram_decontaminate,
+    )
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
+    from n8n_tools_api_spark.operators.sampling import (
+        sample_key, sample_threshold_hex,
+    )
+    from n8n_tools_api_spark.operators.textstats import c4_line_filter
+
+    def _status(frame, status):
+        return frame.select(
+            "doc_id", F.lit(status).alias("status"),
+            F.lit(None).cast("string").alias("canonical"))
+
+    mat = RoundMaterializer(checkpoint_dir)
+    urlstat = mat(url_blocklist_filter(
+        docs.select("doc_id", "url"), blocked_domains, blocked_terms)
+        .select("doc_id", "host", "status"), "urlstat")
+    rejected_url = _status(
+        urlstat.where(F.col("status") != "kept"), "rejected_url")
+
+    survivors = docs.select("doc_id", "text").join(
+        urlstat.where(F.col("status") == "kept").select("doc_id"), "doc_id")
+    rated = mat(c4_line_filter(survivors)
+                .select("doc_id", "clean_text", "c4_keep"), "c4_rated")
+    rejected_c4 = _status(rated.where(~F.col("c4_keep")), "rejected_c4")
+
+    passed = rated.where(F.col("c4_keep")).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    cur = mat(curation_with_quality(passed, use_lsh=use_lsh,
+                                    threshold=threshold, k=k,
+                                    checkpoint_dir=checkpoint_dir), "cur")
+    dup_or_rejected = cur.where(F.col("status") != "kept")
+
+    hostkept = cur.where(F.col("status") == "kept").select("doc_id").join(
+        urlstat.select("doc_id", F.col("host").alias("url")), "doc_id")
+    # per_host_cap re-canonicalizes its url column; the host is already
+    # canonical and canonical_host('' / bare host) = '' only for
+    # scheme-less strings — so feed it as a synthetic URL
+    capped = per_host_cap(
+        hostkept.select(
+            "doc_id",
+            F.concat(F.lit("s://"), F.col("url")).alias("url")),
+        cap=host_cap)
+    rejected_cap = _status(
+        hostkept.join(capped.select("doc_id"), "doc_id", "left_anti"),
+        "rejected_host_cap")
+
+    capped_text = capped.select("doc_id").join(
+        rated.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+    dec = mat(ngram_decontaminate(capped_text, bench, n=n_gram), "decontam")
+    contaminated = _status(dec.where(F.col("contaminated")), "contaminated")
+
+    survivors_final = dec.where(~F.col("contaminated")).select("doc_id")
+    keep = sample_key(F.col("doc_id"), sample_seed) < \
+        F.lit(sample_threshold_hex(sample_rate))
+    kept = survivors_final.where(keep).select(
+        "doc_id", F.lit("kept").alias("status"),
+        F.col("doc_id").alias("canonical"))
+    sampled_out = _status(survivors_final.where(~keep), "sampled_out")
+
+    return (rejected_url
+            .unionByName(rejected_c4)
+            .unionByName(dup_or_rejected)
+            .unionByName(rejected_cap)
+            .unionByName(contaminated)
+            .unionByName(sampled_out)
+            .unionByName(kept))

@@ -32,6 +32,7 @@ _DRIVER_PRIORITY = [
     "benchmark_decontam",
     "url_blocklist",
     "mixture_sample_report",
+    "web_curation_keep_list",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -47,6 +48,7 @@ _DRIVER_PRIORITY = [
 # flow queries (extraction, curation, dedup, media, streaming, lineage)
 # and the multi-join TPC-H analogs stay inside the window.
 _DRIVER_TAIL = [
+    "events_user_sessions",
     "q15_top_supplier",
     "q7_volume_shipping",
     "q8_market_share",

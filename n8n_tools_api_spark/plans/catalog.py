@@ -17,6 +17,7 @@ used throughout so the driver's value-hash can't drift:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3176,7 +3177,7 @@ def c4_curation_keep_list_q(spark, sf_dir):
     return c4_curation_keep_list(corpus, use_lsh=False).orderBy("doc_id")
 
 
-_C4_CURATION_SRC_CTES = r"""san AS (
+_C4_FIXTURE_CTES = r"""san AS (
   SELECT CAST(doc_id AS VARCHAR) AS did, doc_id AS id,
          trim(regexp_replace(regexp_replace(COALESCE(text, ''),
               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
@@ -3216,8 +3217,14 @@ c4src AS (
          r || chr(10) || r || chr(10) || r || chr(10) || r || chr(10) || r
          || chr(10) || 'unique tail for doc ' || did || ' with extra words.'
   FROM ln WHERE id < 12
-),
-c4kept AS (
+)"""
+
+
+def _c4_gate_ctes(src: str) -> str:
+    """C4 cleaning-rule CTEs (line retention → page gate → cleaned
+    corpus) over a (doc_id, text) source CTE — same expressions as
+    C4_SQL, reduced to the clean_text/c4_keep pair."""
+    return rf"""c4kept AS (
   SELECT doc_id, text,
          [l for l in [trim(x) for x in string_split(text, chr(10))]
           if l != ''
@@ -3227,18 +3234,21 @@ c4kept AS (
                       if w != '']) >= 5
              AND NOT regexp_matches(lower(l), '\bjavascript\b')]
            AS kl
-  FROM c4src
+  FROM {src}
 ),
 c4gate AS (
   SELECT doc_id, clean_text,
          (NOT contains(lower(text), 'lorem ipsum')
-          AND NOT contains(text, '{')
+          AND NOT contains(text, '{{')
           AND len([s for s in regexp_split_to_array(clean_text, '[.!?]+')
                    if trim(s) != '']) >= 3) AS c4_keep
   FROM (SELECT *, COALESCE(array_to_string(kl, chr(10)), '') AS clean_text
         FROM c4kept)
 ),
 c4corpus AS (SELECT doc_id, clean_text AS text FROM c4gate WHERE c4_keep)"""
+
+
+_C4_CURATION_SRC_CTES = _C4_FIXTURE_CTES + ",\n" + _c4_gate_ctes("c4src")
 
 
 C4_CURATION_SQL = (
@@ -3932,6 +3942,275 @@ ORDER BY stratum NULLS FIRST
 """
 
 
+def web_curation_keep_list_q(spark, sf_dir):
+    """FULL WEB-PIPELINE ORACLE — the complete public curation canon in
+    one disposition log: URL gate → C4 clean → Gopher gate → exact/near
+    dedup → per-host cap (5) → 13-gram benchmark decontamination →
+    deterministic 0.5 downsample. Corpus = the c4_curation fixture
+    (documents<300 as 4-sentence pages + copy_/mut_/js_/brc_/rep_
+    branches) with planted URLs: doc_id%10==6 pages sit on
+    www.badsite.org (rejected_url BEFORE any text stage — their exact
+    twins then dedup among themselves), ids 100-199 share one
+    bighost.example host (cap pressure), everything else gets a unique
+    host. The benchmark is donated by ids 200-299 ≡ 3 (mod 10): words
+    3..23 of their page text — their cleaned text must surface as
+    ``contaminated``. One DuckDB query chains ALL seven replays; a
+    regression in any stage, or in how the stages hand off, breaks the
+    hash."""
+    from n8n_tools_api_spark.operators.curation import web_curation_keep_list
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    idn = F.col("doc_id")
+    t = F.trim(F.regexp_replace(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "[^a-z0-9 ]", " "), " +", " "))
+
+    def line(i):
+        return F.concat(F.substring(t, 1 + 60 * (i - 1), 60), F.lit("."))
+
+    sent4 = F.concat_ws("\n", line(1), line(2), line(3), line(4))
+    sent3 = F.concat_ws("\n", line(1), line(2), line(3))
+    rep_line = F.concat(F.substring(t, 1, 40), F.lit("."))
+    base_url = (
+        F.when(idn % 10 == 6,
+               F.concat(F.lit("https://www.badsite.org/p"), did))
+        .when((idn >= 100) & (idn < 200),
+              F.concat(F.lit("https://bighost.example/p"), did))
+        .otherwise(F.concat(F.lit("https://"), did, F.lit(".example/p")))
+    )
+    base = docs.where(idn < 300).select(
+        did.alias("doc_id"), sent4.alias("text"), base_url.alias("url"))
+
+    def branch(prefix, cond, text_col):
+        pid = F.concat(F.lit(prefix), did)
+        return docs.where(cond).select(
+            pid.alias("doc_id"), text_col.alias("text"),
+            F.concat(F.lit("https://"), pid, F.lit(".example/p"))
+            .alias("url"))
+
+    corpus = (
+        base
+        .unionByName(branch("copy_", idn < 40, sent4))
+        .unionByName(branch("mut_", idn < 25, sent3))
+        .unionByName(branch("js_", idn < 15, F.concat_ws(
+            "\n", line(1), line(2),
+            F.lit("Enable javascript to view this page properly."),
+            line(3), line(4))))
+        .unionByName(branch("brc_", idn < 10, F.concat_ws(
+            "\n", sent4, F.lit("if (x) { return y; }"))))
+        .unionByName(branch("rep_", idn < 12, F.concat_ws(
+            "\n", rep_line, rep_line, rep_line, rep_line, rep_line,
+            F.concat(F.lit("unique tail for doc "), did,
+                     F.lit(" with extra words.")))))
+    )
+    bwords = F.filter(F.split(F.lower(F.trim(sent4)), r"\s+"),
+                      lambda w: w != "")
+    bench = (
+        docs.where((idn >= 200) & (idn < 300) & (idn % 10 == 3))
+        .select(bwords.alias("_w")).where(F.size("_w") >= 23)
+        .select(F.array_join(F.slice("_w", 3, 21), " ").alias("text"))
+    )
+    domains = spark.range(1).select(
+        F.explode(F.array(F.lit("badsite.org"), F.lit("tracker.net")))
+        .alias("domain"))
+    return web_curation_keep_list(
+        corpus, domains, ["casino"], bench,
+        host_cap=5, sample_rate=0.5, sample_seed=42,
+        use_lsh=False).orderBy("doc_id")
+
+
+_WEB_SRC_CTES = r"""wsrc AS (
+  SELECT did AS doc_id,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 AS text,
+         CASE WHEN id % 10 = 6 THEN 'https://www.badsite.org/p' || did
+              WHEN id >= 100 AND id < 200
+                THEN 'https://bighost.example/p' || did
+              ELSE 'https://' || did || '.example/p' END AS url
+  FROM ln
+  UNION ALL
+  SELECT 'copy_' || did,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4,
+         'https://copy_' || did || '.example/p'
+  FROM ln WHERE id < 40
+  UNION ALL
+  SELECT 'mut_' || did, l1 || chr(10) || l2 || chr(10) || l3,
+         'https://mut_' || did || '.example/p'
+  FROM ln WHERE id < 25
+  UNION ALL
+  SELECT 'js_' || did,
+         l1 || chr(10) || l2 || chr(10)
+         || 'Enable javascript to view this page properly.' || chr(10)
+         || l3 || chr(10) || l4,
+         'https://js_' || did || '.example/p'
+  FROM ln WHERE id < 15
+  UNION ALL
+  SELECT 'brc_' || did,
+         l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 || chr(10)
+         || 'if (x) { return y; }',
+         'https://brc_' || did || '.example/p'
+  FROM ln WHERE id < 10
+  UNION ALL
+  SELECT 'rep_' || did,
+         r || chr(10) || r || chr(10) || r || chr(10) || r || chr(10) || r
+         || chr(10) || 'unique tail for doc ' || did || ' with extra words.',
+         'https://rep_' || did || '.example/p'
+  FROM ln WHERE id < 12
+),
+whost AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(lower(COALESCE(url, '')),
+                            '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+             '^www\.', ''),
+           ':\d+$', '') AS host,
+         lower(COALESCE(url, '')) AS lurl
+  FROM wsrc
+),
+wsuff AS (
+  SELECT doc_id, unnest([array_to_string(p[i:len(p)], '.')
+                         for i in generate_series(1, len(p))]) AS s
+  FROM (SELECT doc_id, string_split(host, '.') AS p FROM whost)
+),
+wdmatch AS (
+  SELECT doc_id, min(s) AS d
+  FROM wsuff
+  JOIN (VALUES ('badsite.org'), ('tracker.net')) AS domains(domain)
+    ON s = domain AND s <> ''
+  GROUP BY doc_id
+),
+wtmatch AS (
+  SELECT doc_id, min(term) AS tm
+  FROM whost
+  JOIN (VALUES ('casino')) AS terms(term) ON contains(lurl, term)
+  GROUP BY doc_id
+),
+urlstat AS (
+  SELECT h.doc_id, h.host,
+         CASE WHEN d IS NOT NULL THEN 'blocked_domain'
+              WHEN tm IS NOT NULL THEN 'blocked_term'
+              ELSE 'kept' END AS status
+  FROM whost h
+  LEFT JOIN wdmatch USING (doc_id)
+  LEFT JOIN wtmatch USING (doc_id)
+),
+websrc AS (
+  SELECT w.doc_id, w.text FROM wsrc w
+  JOIN urlstat u USING (doc_id) WHERE u.status = 'kept'
+)"""
+
+_WEB_TAIL_CTES = r"""keptids AS (
+  SELECT doc_id FROM final WHERE status = 'kept'
+),
+hostkept AS (
+  SELECT k.doc_id, u.host FROM keptids k JOIN urlstat u USING (doc_id)
+),
+hranked AS (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS hr
+  FROM hostkept
+),
+bwords AS (
+  SELECT [w for w in regexp_split_to_array(
+            lower(trim(l1 || chr(10) || l2 || chr(10) || l3 || chr(10)
+                       || l4)), '\s+') if w != ''] AS w
+  FROM ln WHERE id >= 200 AND id % 10 = 3
+),
+bspans AS (
+  SELECT array_to_string(w[3:23], ' ') AS text
+  FROM bwords WHERE len(w) >= 23
+),
+bgram_l AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+           x -> x <> '') AS w
+  FROM bspans
+),
+bgrams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest(CASE
+      WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+      WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+      ELSE [array_to_string(w[i:i+12], ' ')
+            for i in generate_series(1, len(w) - 12)] END) AS gram
+    FROM bgram_l)
+  WHERE gram <> ''
+),
+dtext AS (
+  SELECT h.doc_id, g.clean_text
+  FROM hranked h JOIN c4gate g USING (doc_id) WHERE hr <= 5
+),
+dwords AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(clean_text, ''))),
+                                 '\s+'),
+           x -> x <> '') AS w
+  FROM dtext
+),
+dgrams AS (
+  SELECT doc_id, list_distinct(CASE
+    WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+    ELSE [array_to_string(w[i:i+12], ' ')
+          for i in generate_series(1, len(w) - 12)] END) AS g
+  FROM dwords
+),
+dhits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(g) AS gram FROM dgrams) d
+  JOIN bgrams USING (gram)
+),
+decon_ok AS (
+  SELECT doc_id FROM dtext
+  WHERE doc_id NOT IN (SELECT doc_id FROM dhits)
+),
+sampledkeep AS (
+  SELECT doc_id FROM decon_ok
+  WHERE substr(md5('42:' || doc_id), 1, 8) < '80000000'
+)"""
+
+# The composed chain references deep CTEs many times (the final union
+# reads urlstat/c4gate/q_gate/final/hranked/…, each sitting on the whole
+# upstream chain); DuckDB inlines CTEs by default, so without
+# materialization the expansion is exponential — measured as an fd
+# blow-up re-opening the parquet thousands of times. Force every named
+# non-recursive CTE MATERIALIZED in THIS query only (the shared
+# fragments stay untouched for the other oracles).
+_WEB_CURATION_SQL_RAW = (
+    "WITH RECURSIVE " + _C4_FIXTURE_CTES + ",\n" + _WEB_SRC_CTES + ",\n"
+    + _c4_gate_ctes("websrc") + ",\n"
+    + _gopher_gate_ctes("c4corpus") + ",\n"
+    + _curation_tail("qcorpus") + ",\n"
+    + _WEB_TAIL_CTES + "\n"
+    + "SELECT doc_id, 'rejected_url' AS status,"
+      " CAST(NULL AS VARCHAR) AS canonical FROM urlstat WHERE status != 'kept'\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'rejected_c4', CAST(NULL AS VARCHAR)"
+      " FROM c4gate WHERE NOT c4_keep\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'rejected_quality', CAST(NULL AS VARCHAR)"
+      " FROM q_gate WHERE NOT keep\n"
+      "UNION ALL\n"
+      "SELECT doc_id, status, canonical FROM final"
+      " WHERE status IN ('exact_dup', 'near_dup')\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'rejected_host_cap', CAST(NULL AS VARCHAR)"
+      " FROM hranked WHERE hr > 5\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'contaminated', CAST(NULL AS VARCHAR) FROM dhits\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'sampled_out', CAST(NULL AS VARCHAR) FROM decon_ok"
+      " WHERE doc_id NOT IN (SELECT doc_id FROM sampledkeep)\n"
+      "UNION ALL\n"
+      "SELECT doc_id, 'kept', doc_id FROM sampledkeep\n"
+      "ORDER BY doc_id\n"
+)
+
+WEB_CURATION_SQL = re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (",
+                          _WEB_CURATION_SQL_RAW)
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4002,4 +4281,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "benchmark_decontam": (benchmark_decontam_q, BENCH_DECONTAM_SQL),
     "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
+    "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
 }

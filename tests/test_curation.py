@@ -179,3 +179,88 @@ class TestCurationKeepList:
         entries = {e for ns in os.listdir(app_dir)
                    for e in os.listdir(os.path.join(app_dir, ns))}
         assert {"ranked", "banded", "edges"} <= entries
+
+
+class TestWebCurationKeepList:
+    """The fully-composed web pipeline (url → c4 → gopher → dedup →
+    host cap → decontam → sample) — stage-handoff pins behind the
+    ``web_curation_keep_list`` oracle."""
+
+    @staticmethod
+    def _run(spark, rows, bench_rows=(), **kw):
+        from n8n_tools_api_spark.operators.curation import (
+            web_curation_keep_list,
+        )
+
+        docs = spark.createDataFrame(
+            rows, "doc_id string, url string, text string")
+        domains = spark.createDataFrame([("badsite.org",)], "domain string")
+        bench = spark.createDataFrame(
+            [(t,) for t in bench_rows] or [("zz_never_matches",)],
+            "text string")
+        out = web_curation_keep_list(docs, domains, ["casino"], bench, **kw)
+        return {r["doc_id"]: (r["status"], r["canonical"])
+                for r in out.collect()}
+
+    # a 4-line page that passes C4 (terminal '.', ≥5 words/line,
+    # ≥3 sentences) and Gopher (no repeated lines/grams)
+    PAGE = ("alpha bravo charlie delta echo foxtrot one.\n"
+            "golf hotel india juliet kilo lima two.\n"
+            "mike november oscar papa quebec romeo three.\n"
+            "sierra tango uniform victor whiskey xray four.")
+
+    def test_url_rejection_preempts_every_text_stage(self, spark):
+        # same text twice: the blocked copy must be rejected_url, NOT
+        # exact_dup — and the clean copy stays kept (its only twin
+        # never reached dedup)
+        out = self._run(spark, [
+            ("a", "https://badsite.org/x", self.PAGE),
+            ("b", "https://ok1.example/x", self.PAGE),
+        ])
+        assert out["a"] == ("rejected_url", None)
+        assert out["b"] == ("kept", "b")
+
+    def test_every_doc_gets_exactly_one_row(self, spark):
+        rows = [
+            ("u", "https://badsite.org/x", self.PAGE),
+            ("c", "https://ok1.example/x", "short page { junk"),
+            ("k", "https://ok2.example/x", self.PAGE),
+            ("d", "https://ok3.example/x", self.PAGE),
+        ]
+        out = self._run(spark, rows)
+        assert len(out) == 4
+        assert out["u"][0] == "rejected_url"
+        assert out["c"][0] == "rejected_c4"
+        assert {out["k"][0], out["d"][0]} == {"kept", "exact_dup"}
+
+    def test_host_cap_applies_after_dedup(self, spark):
+        # six pages with disjoint vocabularies (no shared shingles —
+        # one-word deltas would be near-dups) on one host, cap 2:
+        # exactly two kept, four rejected_host_cap (doc_id asc)
+        def page(i):
+            ws = [f"w{i}x{j}" for j in range(28)]
+            return "\n".join(
+                " ".join(ws[k * 7:(k + 1) * 7]) + "." for k in range(4))
+
+        pages = [(f"h{i}", "https://samehost.example/p%d" % i, page(i))
+                 for i in range(6)]
+        out = self._run(spark, pages, host_cap=2)
+        statuses = [out[f"h{i}"][0] for i in range(6)]
+        assert statuses[:2] == ["kept", "kept"]
+        assert statuses[2:] == ["rejected_host_cap"] * 4
+
+    def test_decontamination_on_cleaned_text(self, spark):
+        # bench holds a 13-gram of the page; the surviving doc must
+        # come out contaminated, not kept
+        # exactly the page's first 13 whitespace tokens ('one.' keeps
+        # its dot — decontam tokenizes on \s+ only)
+        gram = ("alpha bravo charlie delta echo foxtrot one. golf hotel "
+                "india juliet kilo lima")
+        out = self._run(spark, [("a", "https://ok1.example/x", self.PAGE)],
+                        bench_rows=[gram])
+        assert out["a"] == ("contaminated", None)
+
+    def test_sample_rate_zero_sends_survivors_to_sampled_out(self, spark):
+        out = self._run(spark, [("a", "https://ok1.example/x", self.PAGE)],
+                        sample_rate=0.0)
+        assert out["a"] == ("sampled_out", None)
