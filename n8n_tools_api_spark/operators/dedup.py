@@ -797,3 +797,93 @@ def c4_span_dedup(docs: DataFrame, id_col: str = "doc_id",
         (F.size("ss") - F.size(kept)).cast("int").alias("n_removed"),
         "n_dup_spans",
     )
+
+
+def exact_substr_dedup(docs: DataFrame, window: int = 50,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style corpus dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): any ``window``-token
+    substring occurring more than once in the corpus keeps only its
+    global first occurrence; every other occurrence's covered tokens
+    are removed and the survivors rebuilt. Completes the dedup canon
+    beside the sentence-span rule (:func:`c4_span_dedup`) — this is
+    the token-window generalization with position-wise overlap
+    merging: adjacent duplicated windows merge into one removed span
+    through the covered-token rule, exactly like the paper's
+    suffix-array ranges.
+
+    Pinned semantics (replayed exactly by the DuckDB oracle):
+
+    * a token is a whitespace-split non-empty string, CASE PRESERVED —
+      the paper operates on raw bytes, so unlike the similarity
+      operators there is no folding (documented approximation: token
+      windows instead of byte offsets, so removal happens at token
+      granularity);
+    * the window at 0-based token position q covers tokens
+      q..q+window-1; its key is md5 of the tokens joined by US
+      (``\\x1f``);
+    * the canonical occurrence of a duplicated window is the global
+      minimum ``(doc_id, q)`` (lexicographic string doc_id); every
+      other occurrence marks its covered tokens for removal;
+    * a token survives iff no non-canonical duplicate window covers
+      it; docs with fewer than ``window`` tokens have no windows and
+      pass through whole (the paper cannot dedup below its match
+      length either).
+
+    Output: (doc_id, clean_text, n_tokens, n_removed, n_dup_windows),
+    one row per input document.
+
+    Scale shape: identical to c4_span_dedup — window construction is a
+    per-row fold (zero shuffle); only slim (doc_id, q, h) rows reach
+    the window-keyed agg + join-back (AQE splits boilerplate hot
+    keys); removal lists ride a doc-keyed join. The paper's
+    suffix-array is a single-node construction; this formulation is
+    the shuffle-bounded distributed equivalent for fixed match length.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    sep = "\x1f"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "").alias("ws"),
+    )
+    n = F.size("ws")
+    idxs = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+    with_wins = toks.withColumn(
+        "wins",
+        F.transform(idxs, lambda i: F.md5(
+            F.concat_ws(sep, F.slice("ws", i, window)).cast("binary"))),
+    )
+    occ = with_wins.select(
+        "doc_id", F.posexplode("wins").alias("q", "h"))  # q is 0-based
+    win_stats = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "q")).alias("first_occ"),
+    )
+    dups = (
+        occ.join(win_stats.where(F.col("cnt") > 1), "h")
+        .where((F.col("doc_id") != F.col("first_occ.doc_id"))
+               | (F.col("q") != F.col("first_occ.q")))
+        .groupBy("doc_id")
+        .agg(F.collect_list("q").alias("qs"),
+             F.count("*").alias("n_dup_windows"))
+    )
+    merged = toks.join(dups, "doc_id", "left").select(
+        "doc_id", "ws",
+        F.coalesce("qs", F.array().cast("array<int>")).alias("qs"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("int")
+        .alias("n_dup_windows"),
+    )
+    covered = lambda i: F.exists(
+        "qs", lambda q: (q <= i) & (i <= q + (window - 1)))
+    kept = F.filter("ws", lambda w, i: ~covered(i))
+    return merged.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("ws").cast("int").alias("n_tokens"),
+        (F.size("ws") - F.size(kept)).cast("int").alias("n_removed"),
+        "n_dup_windows",
+    )

@@ -4211,6 +4211,127 @@ WEB_CURATION_SQL = re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (",
                           _WEB_CURATION_SQL_RAW)
 
 
+def exact_substr_dedup_q(spark, sf_dir):
+    """EXACT-SUBSTRING DEDUP ORACLE (Lee et al. 2021 ExactSubstr,
+    window=20 tokens for the fixture): documents<400 ∪ planted
+    branches — 30 ``cpy_`` verbatim copies (every window duplicated →
+    the copy empties), 20 ``esx_a_``/``esx_b_`` pairs sharing a unique
+    25-token middle span between distinct intro/outro (the later doc
+    loses exactly the shared span: position-wise overlap merging), 15
+    ``rpt_`` docs repeating one 20-token span twice internally (the
+    second occurrence is removed, the straddling windows stay unique),
+    10 ``srt_`` 4-token docs (below the match length → pass through
+    whole). DuckDB replays tokenization, window hashing, global
+    first-occurrence ranking, and the covered-token rebuild."""
+    from n8n_tools_api_spark.operators.dedup import exact_substr_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    idn = F.col("doc_id")
+    sp25 = F.concat_ws(" ", *[
+        F.concat(F.lit("sp"), did, F.lit(f"t{j}")) for j in range(1, 26)])
+    rp20 = F.concat_ws(" ", *[
+        F.concat(F.lit("rp"), did, F.lit(f"t{j}")) for j in range(1, 21)])
+
+    def branch(prefix, cond, text_col):
+        return docs.where(cond).select(
+            F.concat(F.lit(prefix), did).alias("doc_id"),
+            text_col.alias("text"))
+
+    corpus = (
+        docs.where(idn < 400).select(did.alias("doc_id"), "text")
+        .unionByName(branch("cpy_", idn < 30, F.col("text")))
+        .unionByName(branch("esx_a_", idn < 20, F.concat_ws(
+            " ", F.lit("alpha intro words for doc"), did,
+            sp25, F.lit("alpha outro words end"))))
+        .unionByName(branch("esx_b_", idn < 20, F.concat_ws(
+            " ", F.lit("beta different opening here for"), did,
+            sp25, F.lit("beta closing trailer text"))))
+        .unionByName(branch("rpt_", idn < 15,
+                            F.concat_ws(" ", rp20, rp20)))
+        .unionByName(branch("srt_", idn < 10, F.concat_ws(
+            " ", F.lit("tiny doc"), did, F.lit("here"))))
+    )
+    return exact_substr_dedup(corpus, window=20).orderBy("doc_id")
+
+
+EXACT_SUBSTR_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT 'cpy_' || CAST(doc_id AS VARCHAR), text
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT 'esx_a_' || CAST(doc_id AS VARCHAR),
+         'alpha intro words for doc ' || CAST(doc_id AS VARCHAR) || ' '
+         || array_to_string(['sp' || CAST(doc_id AS VARCHAR) || 't'
+                             || CAST(j AS VARCHAR)
+                             for j in generate_series(1, 25)], ' ')
+         || ' alpha outro words end'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'esx_b_' || CAST(doc_id AS VARCHAR),
+         'beta different opening here for ' || CAST(doc_id AS VARCHAR) || ' '
+         || array_to_string(['sp' || CAST(doc_id AS VARCHAR) || 't'
+                             || CAST(j AS VARCHAR)
+                             for j in generate_series(1, 25)], ' ')
+         || ' beta closing trailer text'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'rpt_' || CAST(doc_id AS VARCHAR),
+         array_to_string(['rp' || CAST(doc_id AS VARCHAR) || 't'
+                          || CAST(j AS VARCHAR)
+                          for j in generate_series(1, 20)], ' ')
+         || ' '
+         || array_to_string(['rp' || CAST(doc_id AS VARCHAR) || 't'
+                             || CAST(j AS VARCHAR)
+                             for j in generate_series(1, 20)], ' ')
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'srt_' || CAST(doc_id AS VARCHAR),
+         'tiny doc ' || CAST(doc_id AS VARCHAR) || ' here'
+  FROM documents WHERE doc_id < 10
+),
+toks AS (
+  SELECT doc_id,
+         [w for w in regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
+          if w != ''] AS ws
+  FROM corpus
+),
+occ AS (
+  SELECT doc_id, i - 1 AS q,
+         md5(array_to_string(ws[i:i+19], chr(31))) AS h
+  FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 19, 0))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, q) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cnt
+  FROM occ
+),
+rem AS (
+  SELECT doc_id, list(q) AS qs, COUNT(*) AS n_dup
+  FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT t.doc_id, ws,
+         [ws[j] for j in generate_series(1, len(ws))
+          if len([q for q in COALESCE(qs, [])
+                  if q <= j - 1 AND j - 1 <= q + 19]) = 0] AS kept,
+         COALESCE(n_dup, 0) AS n_dup
+  FROM toks t LEFT JOIN rem r USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(ws) AS INT) AS n_tokens,
+       CAST(len(ws) - len(kept) AS INT) AS n_removed,
+       CAST(n_dup AS INT) AS n_dup_windows
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4282,4 +4403,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
+    "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
 }

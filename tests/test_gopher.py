@@ -198,3 +198,87 @@ class TestC4SpanDedup:
         # exactly one canonical survivor of the shared span
         keepers = [r for r in a if "Same span sentence one." in r[1]]
         assert len(keepers) == 1 and keepers[0][0] == "d000"
+
+
+class TestExactSubstrDedup:
+    """ExactSubstr token-window dedup (operators/dedup.py::
+    exact_substr_dedup) — pins behind the ``exact_substr_dedup``
+    oracle."""
+
+    @staticmethod
+    def _run(spark, rows, window=5):
+        from n8n_tools_api_spark.operators.dedup import exact_substr_dedup
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r["doc_id"]: r
+                for r in exact_substr_dedup(df, window=window).collect()}
+
+    def test_verbatim_copy_empties_the_later_doc(self, spark):
+        text = " ".join(f"t{j}" for j in range(8))
+        out = self._run(spark, [("a", text), ("b", text)])
+        assert out["a"]["clean_text"] == text
+        assert out["b"]["clean_text"] == ""
+        assert out["b"]["n_removed"] == 8
+        assert out["b"]["n_dup_windows"] == 4   # 8 tokens, 5-windows
+
+    def test_shared_span_removed_with_overlap_merge(self, spark):
+        span = " ".join(f"s{j}" for j in range(6))    # 6 shared tokens
+        a = "a1 a2 a3 " + span + " a4 a5"
+        b = "b1 b2 b3 " + span + " b4 b5"
+        out = self._run(spark, [("a", a), ("b", b)])
+        # only the 6-token span duplicates (two 5-windows, merged);
+        # b keeps its unique frame
+        assert out["a"]["clean_text"] == a
+        assert out["b"]["clean_text"] == "b1 b2 b3 b4 b5"
+        assert out["b"]["n_removed"] == 6
+        assert out["b"]["n_dup_windows"] == 2
+
+    def test_internal_repeat_keeps_first_occurrence(self, spark):
+        span = " ".join(f"r{j}" for j in range(5))
+        out = self._run(spark, [("a", span + " " + span)])
+        assert out["a"]["clean_text"] == span
+        assert out["a"]["n_dup_windows"] == 1
+
+    def test_below_window_passes_through(self, spark):
+        out = self._run(spark, [("a", "one two three"),
+                                ("b", "one two three")])
+        for k in ("a", "b"):
+            assert out[k]["clean_text"] == "one two three"
+            assert out[k]["n_dup_windows"] == 0
+
+    def test_case_is_not_folded(self, spark):
+        up = " ".join(f"T{j}" for j in range(5))
+        lo = up.lower()
+        out = self._run(spark, [("a", up), ("b", lo)])
+        assert out["a"]["n_removed"] == 0
+        assert out["b"]["n_removed"] == 0
+
+    def test_null_and_empty_pass_through(self, spark):
+        out = self._run(spark, [("n", None), ("e", "   ")])
+        for k in ("n", "e"):
+            assert out[k]["clean_text"] == ""
+            assert out[k]["n_tokens"] == 0
+            assert out[k]["n_removed"] == 0
+
+    def test_partition_layout_invariance(self, spark):
+        from n8n_tools_api_spark.operators.dedup import exact_substr_dedup
+
+        text = " ".join(f"t{j}" for j in range(8))
+        rows = [(f"d{i}", text) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        a = {(r["doc_id"], r["clean_text"]) for r in
+             exact_substr_dedup(df, window=5).collect()}
+        b = {(r["doc_id"], r["clean_text"]) for r in
+             exact_substr_dedup(df.repartition(7), window=5).collect()}
+        assert a == b
+        # global first occurrence: only d0 survives with text
+        kept = {d for d, t in a if t}
+        assert kept == {"d0"}
+
+    def test_invalid_window_raises(self, spark):
+        from n8n_tools_api_spark.operators.dedup import exact_substr_dedup
+
+        df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            exact_substr_dedup(df, window=0)
