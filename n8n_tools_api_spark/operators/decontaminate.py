@@ -72,13 +72,21 @@ def benchmark_grams(bench: DataFrame, n: int = 13,
 
 def ngram_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13,
                         id_col: str = "doc_id", text_col: str = "text",
-                        bench_text_col: str = "text") -> DataFrame:
+                        bench_text_col: str = "text",
+                        broadcast_hits: bool = True) -> DataFrame:
     """Per-document benchmark-overlap report.
 
     Output: (doc_id, n_grams, n_hits, contaminated) — one row per
     input document; ``n_grams`` is the size of the doc's distinct gram
     set, ``n_hits`` how many of those grams appear in the benchmark,
     ``contaminated`` the hard-drop flag. Keep-list = NOT contaminated.
+
+    ``broadcast_hits`` hints the hit-count join-back as broadcast —
+    right when contamination is the expected sliver of the corpus.
+    When a large benchmark overlaps a large corpus fraction the hit
+    frame can outgrow a broadcast: pass ``False`` and the join-back
+    becomes a doc-keyed shuffle of two SLIM frames (the fat gram
+    arrays are dropped before the join either way).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -96,7 +104,8 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13,
     return (
         base.select("doc_id",
                     F.size("_grams").cast("bigint").alias("n_grams"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(F.broadcast(hits) if broadcast_hits else hits,
+              "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",

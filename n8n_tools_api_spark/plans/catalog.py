@@ -3942,8 +3942,8 @@ ORDER BY stratum NULLS FIRST
 """
 
 
-def web_curation_keep_list_q(spark, sf_dir):
-    """FULL WEB-PIPELINE ORACLE — the complete public curation canon in
+def _web_pipeline(spark, sf_dir, use_lsh=False):
+    """FULL WEB-PIPELINE builder — the complete public curation canon in
     one disposition log: URL gate → C4 clean → Gopher gate → exact/near
     dedup → per-host cap (5) → 13-gram benchmark decontamination →
     deterministic 0.5 downsample. Corpus = the c4_curation fixture
@@ -4016,7 +4016,15 @@ def web_curation_keep_list_q(spark, sf_dir):
     return web_curation_keep_list(
         corpus, domains, ["casino"], bench,
         host_cap=5, sample_rate=0.5, sample_seed=42,
-        use_lsh=False).orderBy("doc_id")
+        use_lsh=use_lsh).orderBy("doc_id")
+
+
+def web_curation_keep_list_q(spark, sf_dir):
+    """FULL WEB-PIPELINE ORACLE: the exact-Jaccard variant of
+    :func:`_web_pipeline` (see its docstring for the fixture and stage
+    chain); the rows-only ``web_pipeline_lsh`` twin runs the identical
+    corpus down the MinHash-LSH scale path."""
+    return _web_pipeline(spark, sf_dir, use_lsh=False)
 
 
 _WEB_SRC_CTES = r"""wsrc AS (

@@ -349,6 +349,19 @@ def formatted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+def web_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-composed web pipeline on its 100-TB path: identical
+    corpus, blocklists, benchmark, cap, and sampling parameters as the
+    oracle-backed ``web_curation_keep_list``, but with the near-dup
+    stage running MinHash-LSH candidate generation instead of all-pairs
+    Jaccard. Rows-only by design (LSH recall is approximate); the
+    oracle twin pins every stage's semantics."""
+    from n8n_tools_api_spark.plans.catalog import _web_pipeline
+
+    return _web_pipeline(spark, sf_dir, use_lsh=True).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extract_documents_stats moved to the ORACLE registry (flagship,
     # DuckDB-replayed via the proven clean6 mapping) — catalog.py
@@ -368,4 +381,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": curation_pipeline,
     "stream_neardup_prefilter": stream_neardup_prefilter,
     "stream_curation": stream_curation,
+    "web_pipeline_lsh": web_pipeline_lsh,
 }

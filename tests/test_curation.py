@@ -264,3 +264,18 @@ class TestWebCurationKeepList:
         out = self._run(spark, [("a", "https://ok1.example/x", self.PAGE)],
                         sample_rate=0.0)
         assert out["a"] == ("sampled_out", None)
+
+
+def test_web_pipeline_lsh_twin_agrees_on_fixture(spark, sf_dir):
+    """The rows-only LSH scale path of the web pipeline must reach the
+    same dispositions as the oracle-backed exact-Jaccard variant on
+    the planted corpus (copies are all-band collisions; 3-of-4-line
+    truncations collide on ≥2 bands — same corpus class for which
+    curation_agreement pins 100% status agreement)."""
+    from n8n_tools_api_spark.plans.catalog import _web_pipeline
+
+    exact = {(r["doc_id"], r["status"]) for r in
+             _web_pipeline(spark, sf_dir, use_lsh=False).collect()}
+    lsh = {(r["doc_id"], r["status"]) for r in
+           _web_pipeline(spark, sf_dir, use_lsh=True).collect()}
+    assert exact == lsh

@@ -160,3 +160,16 @@ class TestUrlBlocklistFilter:
             .queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+def test_no_broadcast_hits_same_result(spark):
+    # the scale path (broadcast_hits=False: doc-keyed slim shuffle
+    # join-back) must agree exactly with the broadcast default
+    d = spark.createDataFrame(
+        [("a", "x " + W13 + " y"), ("b", "unrelated words only here")],
+        "doc_id string, text string")
+    b = spark.createDataFrame([(W13,)], "text string")
+    fast = {tuple(r) for r in ngram_decontaminate(d, b).collect()}
+    slow = {tuple(r) for r in
+            ngram_decontaminate(d, b, broadcast_hits=False).collect()}
+    assert fast == slow

@@ -57,7 +57,8 @@ def test_pipeline_queries_run(spark, sf_dir, name):
 # minhash paths localCheckpoint the banded DF eagerly
 _EAGER_BY_DESIGN = {"near_dup_clusters", "minhash_near_dups",
                     "curation_pipeline", "ann_recall_evidence",
-                    "ann_kmeans_refined_counts", "stream_curation"}
+                    "ann_kmeans_refined_counts", "stream_curation",
+                    "web_pipeline_lsh"}
 
 
 @pytest.mark.parametrize(
