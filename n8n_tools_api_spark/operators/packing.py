@@ -1,0 +1,96 @@
+"""Token packing — the last stage of a pretraining data pipeline: lay
+the curated corpus out as fixed-size training blocks. The classic
+public recipe (GPT-2/GPT-3 style, kept by most open pipelines) is
+concat-and-chunk: concatenate every document's token stream in a
+deterministic corpus order, with one separator (EOS) token after each
+document, then slice the stream into ``block_size``-token examples.
+
+This operator computes the PLACEMENT MANIFEST of that layout — for
+each document, where its tokens land — without materializing token
+ids (tokenization happens downstream on the serving side; the manifest
+is what the distributed engine contributes: a deterministic,
+replayable layout):
+
+* ``n_tokens`` — whitespace token count (repo-standard split; the
+  downstream tokenizer's count can be swapped in via ``count_col``);
+* documents are laid out in ascending ``doc_id`` order (the pinned
+  total order — layout must not depend on partitioning);
+* each document occupies ``n_tokens + 1`` stream positions (its tokens
+  plus one trailing separator, the public EOS convention);
+* ``start_offset`` — 0-based stream position of the document's first
+  token; ``first_block`` / ``last_block`` — 0-based indices of the
+  blocks containing the document's first and last token (a document
+  with zero tokens sits entirely at its separator: both blocks are the
+  separator's block); ``n_blocks`` — blocks spanned.
+
+Everything is integer arithmetic over an ordered prefix sum, so DuckDB
+replays it exactly (the ``token_pack_manifest`` oracle).
+
+Scale shape: the prefix sum is a global ordered window — Spark plans a
+range-partitioned sort over SLIM (doc_id, n_tokens) rows only (the
+text column is dropped before the window; counting rides the scan).
+That single range exchange is inherent to a total layout: packing IS a
+global order. For corpora where per-shard layouts are acceptable
+(the common practical choice — each shard becomes its own stream),
+pass ``shard_col``: the window keys by shard and the sort
+parallelizes per shard with no global exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def whitespace_token_count(text_col: Column) -> Column:
+    """Repo-standard token count: non-empty ``\\s+`` splits of the
+    trimmed text; NULL counts as zero tokens."""
+    return F.size(F.filter(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )).cast("bigint")
+
+
+def token_pack(docs: DataFrame, block_size: int,
+               id_col: str = "doc_id", text_col: str = "text",
+               count_col: str | None = None,
+               shard_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk placement manifest (see module docstring).
+
+    Output: (doc_id[, shard], n_tokens, start_offset, first_block,
+    last_block, n_blocks), one row per input document. With
+    ``count_col`` the caller supplies token counts (e.g. from a real
+    tokenizer stage); otherwise the whitespace count is computed here.
+    """
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    n_tok = (F.col(count_col).cast("bigint") if count_col
+             else whitespace_token_count(F.col(text_col)))
+    slim_cols = [F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens")]
+    if shard_col:
+        slim_cols.insert(1, F.col(shard_col).alias("shard"))
+    slim = docs.select(*slim_cols)
+    w = (Window.partitionBy("shard") if shard_col else
+         Window.partitionBy()).orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # prefix sum INCLUDING this doc's (n_tokens + 1) footprint
+    end_excl = F.sum(F.col("n_tokens") + 1).over(w)
+    start = (end_excl - (F.col("n_tokens") + 1)).alias("start_offset")
+    first_block = F.floor(F.col("start_offset") / block_size) \
+        .cast("bigint").alias("first_block")
+    # last TOKEN position: start + n_tokens - 1; empty docs sit at the
+    # separator position (start_offset) instead
+    last_pos = F.when(F.col("n_tokens") > 0,
+                      F.col("start_offset") + F.col("n_tokens") - 1) \
+        .otherwise(F.col("start_offset"))
+    last_block = F.floor(last_pos / block_size).cast("bigint") \
+        .alias("last_block")
+    out = (
+        slim.withColumn("start_offset", start)
+        .withColumn("first_block", first_block)
+        .withColumn("last_block", last_block)
+        .withColumn(
+            "n_blocks",
+            (F.col("last_block") - F.col("first_block") + 1).cast("bigint"))
+    )
+    return out

@@ -34,6 +34,7 @@ _DRIVER_PRIORITY = [
     "mixture_sample_report",
     "web_curation_keep_list",
     "exact_substr_dedup",
+    "token_pack_manifest",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -49,6 +50,7 @@ _DRIVER_PRIORITY = [
 # flow queries (extraction, curation, dedup, media, streaming, lineage)
 # and the multi-join TPC-H analogs stay inside the window.
 _DRIVER_TAIL = [
+    "q10_returned_items",
     "q18_large_orders",
     "events_user_sessions",
     "q15_top_supplier",

@@ -4340,6 +4340,68 @@ ORDER BY doc_id
 """
 
 
+def token_pack_manifest_q(spark, sf_dir):
+    """TOKEN-PACKING ORACLE: the concat-and-chunk placement manifest
+    (operators/packing.py — GPT-2/3-style corpus layout: docs
+    concatenated in doc_id order, one EOS separator each, sliced into
+    128-token blocks) over documents<500 ∪ a planted empty doc and a
+    NULL-text doc (zero tokens → the doc sits at its separator
+    position, first_block == last_block). DuckDB replays the count and
+    the ordered prefix sum exactly — any drift in the layout order,
+    the separator convention, or the block arithmetic shifts every
+    downstream offset and breaks the hash."""
+    from n8n_tools_api_spark.operators.packing import token_pack
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500) \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = spark.range(1).select(
+        F.lit("mt_1").alias("doc_id"), F.lit("").alias("text")
+    ).unionByName(spark.range(1).select(
+        F.lit("nul_1").alias("doc_id"),
+        F.lit(None).cast("string").alias("text")))
+    return token_pack(docs.unionByName(planted), block_size=128) \
+        .orderBy("doc_id")
+
+
+TOKEN_PACK_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 500
+  UNION ALL SELECT 'mt_1', ''
+  UNION ALL SELECT 'nul_1', NULL
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len([w for w in
+                   regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
+                   if w <> '']) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens + 1) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+           - (n_tokens + 1) AS start_offset
+  FROM counted
+),
+blocks AS (
+  SELECT doc_id, n_tokens, start_offset,
+         CAST(floor(start_offset / 128) AS BIGINT) AS first_block,
+         CAST(floor((CASE WHEN n_tokens > 0
+                          THEN start_offset + n_tokens - 1
+                          ELSE start_offset END) / 128) AS BIGINT)
+           AS last_block
+  FROM placed
+)
+SELECT doc_id, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       first_block, last_block,
+       CAST(last_block - first_block + 1 AS BIGINT) AS n_blocks
+FROM blocks
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4412,4 +4474,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
+    "token_pack_manifest": (token_pack_manifest_q, TOKEN_PACK_SQL),
 }

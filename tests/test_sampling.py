@@ -112,3 +112,88 @@ class TestMixtureReport:
         plan = stratified_sample(_corpus(spark), {"a": 0.5}) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestTokenPack:
+    """Concat-and-chunk packing manifest (operators/packing.py) —
+    pins behind the ``token_pack_manifest`` oracle."""
+
+    @staticmethod
+    def _run(spark, rows, block_size=10, **kw):
+        from n8n_tools_api_spark.operators.packing import token_pack
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r["doc_id"]: r
+                for r in token_pack(df, block_size, **kw).collect()}
+
+    def test_layout_is_contiguous_with_separators(self, spark):
+        out = self._run(spark, [
+            ("a", "t1 t2 t3"),          # tokens 0-2, sep 3
+            ("b", "u1 u2"),             # tokens 4-5, sep 6
+            ("c", "v1"),                # token 7, sep 8
+        ])
+        assert (out["a"]["start_offset"], out["b"]["start_offset"],
+                out["c"]["start_offset"]) == (0, 4, 7)
+        assert out["b"]["first_block"] == out["b"]["last_block"] == 0
+
+    def test_block_span_arithmetic(self, spark):
+        # 25 tokens at block_size 10 → blocks 0..2
+        out = self._run(spark, [("a", " ".join(f"t{j}" for j in range(25)))])
+        a = out["a"]
+        assert (a["first_block"], a["last_block"], a["n_blocks"]) == (0, 2, 3)
+
+    def test_empty_and_null_docs_sit_at_their_separator(self, spark):
+        out = self._run(spark, [
+            ("a", " ".join(f"t{j}" for j in range(9))),  # 0-8, sep 9
+            ("b", ""),                                   # sep at 10
+            ("c", None),                                 # sep at 11
+            ("d", "x"),                                  # token 12
+        ])
+        assert out["b"]["n_tokens"] == 0
+        assert out["b"]["start_offset"] == 10
+        assert out["b"]["first_block"] == out["b"]["last_block"] == 1
+        assert out["c"]["start_offset"] == 11
+        assert out["d"]["start_offset"] == 12
+
+    def test_layout_partition_invariant(self, spark):
+        from n8n_tools_api_spark.operators.packing import token_pack
+
+        rows = [(f"d{i:02d}", " ".join(f"w{i}x{j}" for j in range(i + 1)))
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        a = {tuple(r) for r in token_pack(df, 16).collect()}
+        b = {tuple(r) for r in token_pack(df.repartition(7), 16).collect()}
+        assert a == b
+
+    def test_shard_col_packs_independent_streams(self, spark):
+        from n8n_tools_api_spark.operators.packing import token_pack
+
+        rows = [("a1", "s1", "t1 t2"), ("a2", "s1", "u1"),
+                ("b1", "s2", "v1 v2 v3")]
+        df = spark.createDataFrame(
+            rows, "doc_id string, shard string, text string")
+        out = {r["doc_id"]: r for r in
+               token_pack(df, 10, shard_col="shard").collect()}
+        # each shard starts its own stream at offset 0
+        assert out["a1"]["start_offset"] == 0
+        assert out["a2"]["start_offset"] == 3
+        assert out["b1"]["start_offset"] == 0
+        assert out["b1"]["shard"] == "s2"
+
+    def test_count_col_overrides_whitespace_count(self, spark):
+        from n8n_tools_api_spark.operators.packing import token_pack
+
+        df = spark.createDataFrame(
+            [("a", "irrelevant", 7), ("b", "words here", 3)],
+            "doc_id string, text string, bpe_count int")
+        out = {r["doc_id"]: r for r in
+               token_pack(df, 10, count_col="bpe_count").collect()}
+        assert out["a"]["n_tokens"] == 7
+        assert out["b"]["start_offset"] == 8   # 7 + 1 separator
+
+    def test_invalid_block_size_raises(self, spark):
+        from n8n_tools_api_spark.operators.packing import token_pack
+
+        df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+        with pytest.raises(ValueError):
+            token_pack(df, 0)
