@@ -821,8 +821,13 @@ def exact_substr_dedup(docs: DataFrame, window: int = 50,
       windows instead of byte offsets, so removal happens at token
       granularity);
     * the window at 0-based token position q covers tokens
-      q..q+window-1; its key is md5 of the tokens joined by US
-      (``\\x1f``);
+      q..q+window-1; its key is a hash of the tokens joined by US
+      (``\\x1f``) — xxhash64 (a slim 8-byte shuffle key; the DuckDB
+      oracle groups by md5 instead, which partitions the windows
+      identically because the key never reaches the output — a
+      cross-engine count divergence would need a collision in one
+      engine only, ~2^-64 per window pair, the same budget every
+      hash-keyed operator here accepts);
     * the canonical occurrence of a duplicated window is the global
       minimum ``(doc_id, q)`` (lexicographic string doc_id); every
       other occurrence marks its covered tokens for removal;
@@ -854,8 +859,8 @@ def exact_substr_dedup(docs: DataFrame, window: int = 50,
             .otherwise(F.array().cast("array<int>"))
     with_wins = toks.withColumn(
         "wins",
-        F.transform(idxs, lambda i: F.md5(
-            F.concat_ws(sep, F.slice("ws", i, window)).cast("binary"))),
+        F.transform(idxs, lambda i: F.xxhash64(
+            F.concat_ws(sep, F.slice("ws", i, window)))),
     )
     occ = with_wins.select(
         "doc_id", F.posexplode("wins").alias("q", "h"))  # q is 0-based

@@ -1,0 +1,120 @@
+"""Process-isolated N -> 4N scaling spot-check for the round-5
+training-pipeline operators (exact_substr_dedup / benchmark_decontam /
+token_pack), complementing the suite-1..3 evidence in
+BENCH/BASELINE.md with measurements for the newest heavy operator.
+
+Same methodology as scripts/lc_curation_bench.py: the identical job
+runs under `local-cluster[N, C, M]` (multi-JVM — each executor its own
+process, heap, GC, Python workers) at two parallelism levels on the
+same input; output rollups must be identical across levels.
+
+Usage:
+    python scripts/lc_op_bench.py OP N_EXECUTORS [CORES_EACH] [MB_EACH]
+    # the N -> 4N pair:
+    python scripts/lc_op_bench.py exact_substr 1
+    python scripts/lc_op_bench.py exact_substr 4
+
+The corpus is generated once (seeded, no wall clock): sf0.1 documents
+replicated REPLICAS times with remapped doc_ids. Replication plants
+cross-replica exact window duplicates, so exact_substr carries a real
+dedup load (every window duplicated across replicas).
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+OP = sys.argv[1] if len(sys.argv) > 1 else "exact_substr"
+n_exec = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+cores = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+mb_each = int(sys.argv[4]) if len(sys.argv) > 4 else 10240
+total = n_exec * cores
+REPLICAS = int(os.environ.get("SPARK_GRAFT_OP_REPLICAS", "20"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+corpus_path = f"/tmp/spark_graft_bench/op_corpus_r{REPLICAS}.parquet"
+
+spark = (SparkSession.builder
+         .master(f"local-cluster[{n_exec},{cores},{mb_each}]")
+         .appName(f"lc-{OP}-{n_exec}x{cores}")
+         .config("spark.sql.shuffle.partitions", str(total))
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.executorEnv.PYTHONPATH", REPO)
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+if not os.path.exists(corpus_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    reps = spark.range(REPLICAS).select(
+        F.col("id").cast("string").alias("r"))
+    docs.crossJoin(F.broadcast(reps)).select(
+        F.concat(F.lit("r"), "r", F.lit("_"), "doc_id").alias("doc_id"),
+        "text",
+    ).repartition(32).write.mode("overwrite").parquet(corpus_path)
+
+total_bytes = sum(os.path.getsize(os.path.join(corpus_path, f))
+                  for f in os.listdir(corpus_path) if f.endswith(".parquet"))
+spark.conf.set("spark.sql.files.maxPartitionBytes",
+               str(max(total_bytes // (total * 4), 1 << 20)))
+spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024))
+
+corpus = spark.read.parquet(corpus_path)
+n = corpus.count()
+load0 = os.getloadavg()[0]
+t0 = time.perf_counter()
+
+if OP == "exact_substr":
+    from n8n_tools_api_spark.operators.dedup import exact_substr_dedup
+
+    out = exact_substr_dedup(corpus, window=50)
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_removed").cast("bigint").alias("tokens_removed"),
+        F.sum(F.when(F.col("n_dup_windows") > 0, 1).otherwise(0))
+        .cast("bigint").alias("docs_touched"),
+    ).collect()[0].asDict()
+elif OP == "decontam":
+    from n8n_tools_api_spark.operators.decontaminate import (
+        ngram_decontaminate,
+    )
+
+    words = F.filter(F.split(F.lower(F.trim(F.coalesce(
+        F.col("text"), F.lit("")))), r"\s+"), lambda w: w != "")
+    bench = (corpus.where(F.col("doc_id").startswith("r0_"))
+             .select(words.alias("w")).where(F.size("w") >= 25)
+             .select(F.array_join(F.slice("w", 5, 21), " ").alias("text")))
+    out = ngram_decontaminate(corpus, bench, n=13, broadcast_hits=False)
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("contaminated").cast("int")).cast("bigint")
+        .alias("contaminated"),
+    ).collect()[0].asDict()
+elif OP == "token_pack":
+    from n8n_tools_api_spark.operators.packing import token_pack
+
+    out = token_pack(corpus, 2048)
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.max(F.col("start_offset") + F.col("n_tokens") + 1)
+        .alias("stream_len"),
+        F.max("last_block").alias("max_block"),
+    ).collect()[0].asDict()
+else:
+    raise SystemExit(f"unknown op {OP}")
+
+sec = time.perf_counter() - t0
+print("LCLINE " + json.dumps({
+    "op": OP, "executors": n_exec, "cores_each": cores,
+    "total_cores": total, "docs": n, "seconds": round(sec, 2),
+    "docs_per_sec": round(n / sec, 1), "rollup": rollup,
+    "load_1min": [round(load0, 1), round(os.getloadavg()[0], 1)]}))
+spark.stop()
