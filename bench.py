@@ -97,7 +97,7 @@ def main() -> None:
         "c4_curation_keep_list", "c4_span_dedup", "pii_redaction",
         "host_cap_keep_list", "benchmark_decontam", "url_blocklist",
         "mixture_sample_report", "web_curation_keep_list",
-        "exact_substr_dedup", "token_pack_manifest",
+        "exact_substr_dedup", "token_pack_manifest", "dsir_selection",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())

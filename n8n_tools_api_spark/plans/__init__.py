@@ -35,6 +35,7 @@ _DRIVER_PRIORITY = [
     "web_curation_keep_list",
     "exact_substr_dedup",
     "token_pack_manifest",
+    "dsir_selection",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -45,11 +46,13 @@ _DRIVER_PRIORITY = [
 
 
 # Pushed past the 50-row window: mature single-table / simple-join
-# rollups, each driver-green in several prior rounds (r01-r04) and
-# byte-stable since — the least informative rows to re-check. Product-
-# flow queries (extraction, curation, dedup, media, streaming, lineage)
-# and the multi-join TPC-H analogs stay inside the window.
+# rollups (plus q5, a 4-round-green multi-join analog displaced by the
+# round-5 dsir_selection), each driver-green in several prior rounds
+# (r01-r04) and byte-stable since — the least informative rows to
+# re-check. Product-flow queries (extraction, curation, dedup, media,
+# streaming, lineage) stay inside the window.
 _DRIVER_TAIL = [
+    "q5_nation_revenue",
     "q10_returned_items",
     "q18_large_orders",
     "events_user_sessions",

@@ -4402,6 +4402,112 @@ ORDER BY doc_id
 """
 
 
+def dsir_selection_q(spark, sf_dir):
+    """DSIR DATA-SELECTION ORACLE: hashed unigram+bigram importance
+    scoring (Xie et al. 2023) over the full documents corpus, with the
+    German-language slice as the target domain — the operator must
+    rank de-like documents first without ever reading the lang column
+    during scoring.
+
+    Semantics pinned by operators/dsir.py: md5-prefix bucket keys
+    (hexlen=3 → 4096 buckets), integer-quantized CENTERED ratio
+    weights (ppm floor of ratio − 1, the first-order Taylor of the
+    paper's log ratios — engine-portable where ln is not), exact
+    BIGINT score sums. The report ranks every document
+    (score DESC, doc_id tiebreak) and flags the top-100 selection.
+    DuckDB replays the whole flow closed-form: same tokenization, same
+    bucket hashes, same double arithmetic (mul/div only — correctly
+    rounded on both engines), same floor quantization.
+
+    The rank window is report-scale only; at 100 TB selection is
+    orderBy().limit() or a score cutoff (operators/dsir.py docstring).
+    """
+    from n8n_tools_api_spark.operators.dsir import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
+    target = docs.where(F.col("lang") == "de")
+    rep = dsir_importance(docs, target, bucket_hexlen=3)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        rep.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_grams", "score")
+        .withColumn("sel_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("selected", F.col("sel_rank") <= 100)
+        .orderBy("sel_rank")
+    )
+
+
+# Full DuckDB replay: same word split, same unigram+bigram feature
+# sequence (occurrence multiplicity kept), same md5-prefix buckets,
+# same ppm-floored ratio weights from identical double expressions
+# (multiplication/division only — no transcendentals), exact BIGINT
+# score sums, same rank tiebreak.
+DSIR_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, COALESCE(text, '') AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang,
+         [w for w in regexp_split_to_array(lower(trim(text)), '\s+')
+          if w <> ''] AS ws
+  FROM corpus
+),
+feats AS (
+  SELECT doc_id, lang,
+         [substring(md5('dsir:' || g), 1, 3) for g in
+          list_concat(ws,
+            CASE WHEN len(ws) >= 2
+                 THEN [ws[i] || ' ' || ws[i + 1]
+                       for i in generate_series(1, len(ws) - 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)] AS bs
+  FROM tok
+),
+rcounts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+  FROM (SELECT unnest(bs) AS bucket FROM feats)
+  GROUP BY bucket
+),
+tcounts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM (SELECT unnest(bs) AS bucket FROM feats WHERE lang = 'de')
+  GROUP BY bucket
+),
+tots AS (
+  SELECT (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM rcounts) AS rtot,
+         (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tcounts) AS ttot
+),
+weights AS (
+  SELECT bucket,
+         CAST(floor(
+           ((CAST(COALESCE(ct, 0) AS DOUBLE) * CAST(rtot AS DOUBLE))
+            / ((CAST(cr AS DOUBLE) + 1.0)
+               * CAST(GREATEST(ttot, 1) AS DOUBLE))
+            - 1.0) * 1000000.0) AS BIGINT) AS w_q
+  FROM rcounts LEFT JOIN tcounts USING (bucket), tots
+),
+scores AS (
+  SELECT doc_id, CAST(SUM(w_q) AS BIGINT) AS score
+  FROM (SELECT doc_id, unnest(bs) AS bucket FROM feats) d
+  JOIN (SELECT bucket, w_q FROM weights WHERE w_q <> 0) p USING (bucket)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT f.doc_id, f.lang,
+         CAST(len(bs) AS BIGINT) AS n_grams,
+         CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+  FROM feats f LEFT JOIN scores s USING (doc_id)
+)
+SELECT doc_id, lang, n_grams, score, sel_rank, sel_rank <= 100 AS selected
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS sel_rank
+  FROM rep)
+ORDER BY sel_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4475,4 +4581,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
     "token_pack_manifest": (token_pack_manifest_q, TOKEN_PACK_SQL),
+    "dsir_selection": (dsir_selection_q, DSIR_SQL),
 }
