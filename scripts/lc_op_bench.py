@@ -108,6 +108,22 @@ elif OP == "token_pack":
         .alias("stream_len"),
         F.max("last_block").alias("max_block"),
     ).collect()[0].asDict()
+elif OP == "token_pack_shard":
+    # the 100-TB layout mode: per-shard streams, fully parallel
+    # windows (256 shards from the replica prefix of the doc_id)
+    from n8n_tools_api_spark.operators.packing import token_pack
+
+    sharded = corpus.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.split(F.col("doc_id"), "_").getItem(0)),
+               F.lit(256)))
+    out = token_pack(sharded, 2048, shard_col="shard")
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("n_tokens") + 1).cast("bigint").alias("total_stream"),
+        F.countDistinct("shard").alias("shards"),
+        F.max("last_block").alias("max_block"),
+    ).collect()[0].asDict()
 else:
     raise SystemExit(f"unknown op {OP}")
 
