@@ -4424,8 +4424,14 @@ def dsir_selection_q(spark, sf_dir):
     """
     from n8n_tools_api_spark.operators.dsir import dsir_importance
 
+    # The sf documents table is a single parquet split, which would pin
+    # the gram-hash pass (the operator's expensive stage) to one task;
+    # spread it across the session's parallelism first. Production
+    # corpora arrive as many splits and skip this. Output is
+    # layout-invariant (pinned by tests/test_dsir.py).
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
     target = docs.where(F.col("lang") == "de")
     rep = dsir_importance(docs, target, bucket_hexlen=3)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
