@@ -36,6 +36,7 @@ _DRIVER_PRIORITY = [
     "exact_substr_dedup",
     "token_pack_manifest",
     "dsir_selection",
+    "lm_perplexity_buckets",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -46,12 +47,14 @@ _DRIVER_PRIORITY = [
 
 
 # Pushed past the 50-row window: mature single-table / simple-join
-# rollups (plus q5, a 4-round-green multi-join analog displaced by the
-# round-5 dsir_selection), each driver-green in several prior rounds
-# (r01-r04) and byte-stable since — the least informative rows to
-# re-check. Product-flow queries (extraction, curation, dedup, media,
-# streaming, lineage) stay inside the window.
+# rollups (plus q5 and q3, 4-round-green multi-join analogs displaced
+# by the round-5 dsir_selection and lm_perplexity_buckets), each
+# driver-green in several prior rounds (r01-r04) and byte-stable since
+# — the least informative rows to re-check. Product-flow queries
+# (extraction, curation, dedup, media, streaming, lineage) stay inside
+# the window.
 _DRIVER_TAIL = [
+    "q3_shipping_priority",
     "q5_nation_revenue",
     "q10_returned_items",
     "q18_large_orders",

@@ -4514,6 +4514,127 @@ ORDER BY sel_rank
 """
 
 
+def lm_perplexity_buckets_q(spark, sf_dir):
+    """CCNET LM-PERPLEXITY ORACLE: per-language hashed-bigram LM
+    perplexity scoring with head/middle/tail equal-thirds bucketing
+    (operators/lm_ppx.py — CCNet, Wenzek et al. 2020) over the full
+    documents corpus ∪ four planted edges: an empty doc, a NULL-text
+    doc, a one-word doc (all three bigram-less → bucket ``none``) and
+    a doc in an unseen language whose sampling key keeps it OUT of the
+    training slice (grp ``xx`` has zero training rows, so every bigram
+    costs exactly −log2(1/4096) = 192 sixteenth-bits — the pinned
+    unseen-group path).  The training slice is the deterministic 30%
+    sample under seed 271828 (operators/sampling.py keys — md5-hex
+    prefix vs '4ccccccc', engine-portable).  DuckDB replays the whole
+    flow closed-form: same tokenization, same md5 vocabulary buckets,
+    same add-one bigram LM per language, same integer sixteenth-bit
+    surprisal (bin-length log2 + linear mantissa — verified
+    bit-identical over a 49k-pair grid), same integer-DIV mean, same
+    ntile(3) split (both engines give earlier tiles the remainder).
+
+    The ntile window is report-scale only; at 100 TB the split uses
+    per-language quantile cutoffs (operators/lm_ppx.py docstring)."""
+    from n8n_tools_api_spark.operators.lm_ppx import (
+        ccnet_buckets, lm_perplexity)
+    from n8n_tools_api_spark.operators.sampling import (
+        sample_key, sample_threshold_hex)
+
+    # single-split parquet would pin the bigram explode (the expensive
+    # stage) to one task — spread it first, like dsir_selection_q; the
+    # output is layout-invariant (every downstream op is keyed)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    planted = spark.createDataFrame(
+        [("mtppx_1", "en", ""), ("nulppx_1", "en", None),
+         ("oneppx_1", "en", "solitary"),
+         ("xxppx_1", "xx", "unseen language words entirely novel here")],
+        "doc_id string, lang string, text string")
+    corpus = docs.unionByName(planted)
+    train = sample_key(F.col("doc_id"), 271828) \
+        < F.lit(sample_threshold_hex(0.3))
+    return ccnet_buckets(lm_perplexity(corpus, train)).orderBy("doc_id")
+
+
+# Full DuckDB replay: same word split, same md5-prefix vocabulary
+# buckets, same per-language add-one bigram LM on the same seeded
+# training slice, identical integer sixteenth-bit surprisal (integer
+# division, bin-length log2, integer shift — no transcendentals), same
+# ntile(3) head/middle/tail split with identical remainder placement.
+LM_PPX_SQL = r"""
+WITH corpus AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, text FROM documents
+  UNION ALL SELECT 'mtppx_1', 'en', ''
+  UNION ALL SELECT 'nulppx_1', 'en', NULL
+  UNION ALL SELECT 'oneppx_1', 'en', 'solitary'
+  UNION ALL SELECT 'xxppx_1', 'xx',
+                   'unseen language words entirely novel here'
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, COALESCE(lang, '') AS grp,
+         substring(md5('271828:' || doc_id), 1, 8) < '4ccccccc'
+           AS is_train,
+         [substring(md5('ppx:' || w), 1, 3) for w in
+          regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+')
+          if w <> ''] AS bs
+  FROM corpus
+),
+big AS MATERIALIZED (
+  SELECT doc_id, grp, is_train, bs[i] AS b1, bs[i + 1] AS b2
+  FROM tok, UNNEST(generate_series(1, greatest(len(bs) - 1, 0))) AS t(i)
+),
+trainbig AS MATERIALIZED (
+  SELECT grp, b1, b2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM big WHERE is_train GROUP BY grp, b1, b2
+),
+trainctx AS MATERIALIZED (
+  SELECT grp, b1, CAST(SUM(cb) AS BIGINT) AS cc
+  FROM trainbig GROUP BY grp, b1
+),
+toks16 AS (
+  SELECT doc_id,
+         16 * (len(bin(den // num)) - 1)
+         + (den * 16)
+           // (num * (CAST(1 AS BIGINT) << (len(bin(den // num)) - 1)))
+         - 16 AS s16
+  FROM (SELECT doc_id,
+               CAST(COALESCE(cb, 0) + 1 AS BIGINT) AS num,
+               CAST(COALESCE(cc, 0) + 4096 AS BIGINT) AS den
+        FROM big LEFT JOIN trainbig USING (grp, b1, b2)
+                 LEFT JOIN trainctx USING (grp, b1))
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(s16) AS BIGINT) AS surprisal_q16
+  FROM toks16 GROUP BY doc_id
+),
+rep AS MATERIALIZED (
+  SELECT t.doc_id, t.grp,
+         CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(surprisal_q16, 0) AS BIGINT) AS surprisal_q16,
+         CASE WHEN COALESCE(n_bigrams, 0) > 0
+              THEN CAST(surprisal_q16 // n_bigrams AS BIGINT) END
+           AS ppx_q16
+  FROM tok t LEFT JOIN scored s USING (doc_id)
+),
+tiled AS (
+  SELECT *, CAST(ntile(3) OVER (PARTITION BY grp
+                                ORDER BY ppx_q16, doc_id) AS BIGINT)
+              AS tile
+  FROM rep WHERE ppx_q16 IS NOT NULL
+)
+SELECT doc_id, grp, n_bigrams, surprisal_q16, ppx_q16, tile,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 WHEN 3 THEN 'tail' END AS bucket
+FROM tiled
+UNION ALL
+SELECT doc_id, grp, n_bigrams, surprisal_q16,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'none'
+FROM rep WHERE ppx_q16 IS NULL
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4588,4 +4709,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
     "token_pack_manifest": (token_pack_manifest_q, TOKEN_PACK_SQL),
     "dsir_selection": (dsir_selection_q, DSIR_SQL),
+    "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
 }
