@@ -129,13 +129,17 @@ def lm_perplexity(docs: DataFrame, train_filter: Column, *,
     v = 16 ** bucket_hexlen
     bks = token_buckets(F.col(text_col), bucket_hexlen)
     mat = RoundMaterializer(checkpoint_dir)
+    # explode_OUTER keeps bigram-less documents as one (NULL, NULL)
+    # row, so the final per-doc aggregation already covers every input
+    # document — no join back to ``docs`` (a wide sort-merge join on a
+    # 100-TB corpus) is ever needed
     exploded = mat(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.coalesce(F.col(group_col).cast("string"), F.lit(""))
             .alias("grp"),
             train_filter.alias("is_train"),
-            F.explode(
+            F.explode_outer(
                 F.when(
                     F.size(bks) >= 2,
                     F.transform(
@@ -152,7 +156,7 @@ def lm_perplexity(docs: DataFrame, train_filter: Column, *,
         "ppx_bigrams", eager=False,
     )
     trainbig = mat(
-        exploded.where("is_train")
+        exploded.where(F.col("is_train") & F.col("b1").isNotNull())
         .groupBy("grp", "b1", "b2")
         .agg(F.count("*").cast("bigint").alias("cb")),
         "ppx_trainbig", eager=False,
@@ -160,38 +164,33 @@ def lm_perplexity(docs: DataFrame, train_filter: Column, *,
     trainctx = trainbig.groupBy("grp", "b1").agg(
         F.sum("cb").cast("bigint").alias("cc"))
 
-    scored = (
+    # The (NULL, NULL) placeholder rows of bigram-less docs fall
+    # through both left joins unmatched; the conditional aggregates
+    # keep them out of the counts while still emitting the doc's row.
+    return (
         exploded
         .join(F.broadcast(trainbig), ["grp", "b1", "b2"], "left")
         .join(F.broadcast(trainctx), ["grp", "b1"], "left")
         .select(
-            "doc_id",
+            "doc_id", "grp", "b1",
             (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1))
             .cast("bigint").alias("_ppx_num"),
             (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(v))
             .cast("bigint").alias("_ppx_den"),
         )
-        .select("doc_id",
-                surprisal_q16("_ppx_num", "_ppx_den").alias("s16"))
-        .groupBy("doc_id")
+        .select("doc_id", "grp",
+                F.when(F.col("b1").isNotNull(),
+                       surprisal_q16("_ppx_num", "_ppx_den"))
+                .alias("s16"))
+        .groupBy("doc_id", "grp")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("s16").cast("bigint").alias("surprisal_q16"),
-        )
-    )
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.coalesce(F.col(group_col).cast("string"), F.lit(""))
-            .alias("grp"))
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id", "grp",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
-            .alias("n_bigrams"),
-            F.coalesce(F.col("surprisal_q16"), F.lit(0)).cast("bigint")
+            F.count("s16").cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.sum("s16"), F.lit(0)).cast("bigint")
             .alias("surprisal_q16"),
-            F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+        )
+        .select(
+            "doc_id", "grp", "n_bigrams", "surprisal_q16",
+            F.when(F.col("n_bigrams") > 0,
                    F.expr("surprisal_q16 DIV n_bigrams"))
             .cast("bigint").alias("ppx_q16"),
         )
@@ -202,19 +201,24 @@ def ccnet_buckets(scored: DataFrame) -> DataFrame:
     """CCNet's equal-thirds head/middle/tail split per group over a
     ``lm_perplexity`` result — adds (tile, bucket).  Deterministic:
     ordered by (ppx_q16 ASC, doc_id ASC) within each ``grp``; bigram-
-    less documents (ppx NULL) get tile NULL / bucket ``none``."""
-    w = Window.partitionBy("grp").orderBy(
+    less documents (ppx NULL) get tile NULL / bucket ``none``.
+
+    ONE window pass: the NULL-ppx rows form their own window partition
+    (second partitioning key) instead of a filter-and-union split —
+    splitting would execute the full upstream lineage once per branch
+    (the round-4-advice duplicate-execution trap)."""
+    w = Window.partitionBy("grp", F.col("ppx_q16").isNull()).orderBy(
         F.asc("ppx_q16"), F.asc("doc_id"))
-    with_ppx = (
-        scored.where(F.col("ppx_q16").isNotNull())
-        .withColumn("tile", F.ntile(3).over(w).cast("bigint"))
-    )
-    without = scored.where(F.col("ppx_q16").isNull()).withColumn(
-        "tile", F.lit(None).cast("bigint"))
-    return with_ppx.unionByName(without).withColumn(
-        "bucket",
-        F.when(F.col("tile") == 1, F.lit("head"))
-        .when(F.col("tile") == 2, F.lit("middle"))
-        .when(F.col("tile") == 3, F.lit("tail"))
-        .otherwise(F.lit("none")),
+    return (
+        scored.withColumn(
+            "tile",
+            F.when(F.col("ppx_q16").isNotNull(),
+                   F.ntile(3).over(w)).cast("bigint"))
+        .withColumn(
+            "bucket",
+            F.when(F.col("tile") == 1, F.lit("head"))
+            .when(F.col("tile") == 2, F.lit("middle"))
+            .when(F.col("tile") == 3, F.lit("tail"))
+            .otherwise(F.lit("none")),
+        )
     )

@@ -1,6 +1,6 @@
 """Process-isolated N -> 4N scaling spot-check for the round-5
 training-pipeline operators (exact_substr_dedup / benchmark_decontam /
-token_pack), complementing the suite-1..3 evidence in
+token_pack / lm_ppx), complementing the suite-1..3 evidence in
 BENCH/BASELINE.md with measurements for the newest heavy operator.
 
 Same methodology as scripts/lc_curation_bench.py: the identical job
@@ -123,6 +123,25 @@ elif OP == "token_pack_shard":
         F.sum(F.col("n_tokens") + 1).cast("bigint").alias("total_stream"),
         F.countDistinct("shard").alias("shards"),
         F.max("last_block").alias("max_block"),
+    ).collect()[0].asDict()
+elif OP == "lm_ppx":
+    # CCNet-style LM scoring. The reference slice is FIXED (the r0_
+    # replica, ~5k docs) while the scored corpus grows with REPLICAS —
+    # the operator's documented contract (a fixed curated reference
+    # corpus, like CCNet's Wikipedia), which keeps the per-group count
+    # tables broadcastable at ANY corpus scale. 16 pseudo-languages
+    # hashed from the doc_id exercise the per-group LM fan-out.
+    from n8n_tools_api_spark.operators.lm_ppx import lm_perplexity
+
+    grouped = corpus.withColumn(
+        "lang",
+        F.substring(F.md5(F.concat(F.lit("ppxlang:"), "doc_id")), 1, 1))
+    out = lm_perplexity(grouped, F.col("doc_id").startswith("r0_"))
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_bigrams").cast("bigint").alias("bigrams"),
+        F.sum("surprisal_q16").cast("bigint").alias("surprisal_total"),
+        F.sum("ppx_q16").cast("bigint").alias("ppx_sum"),
     ).collect()[0].asDict()
 else:
     raise SystemExit(f"unknown op {OP}")
