@@ -98,7 +98,7 @@ def main() -> None:
         "host_cap_keep_list", "benchmark_decontam", "url_blocklist",
         "mixture_sample_report", "web_curation_keep_list",
         "exact_substr_dedup", "token_pack_manifest", "dsir_selection",
-        "lm_perplexity_buckets",
+        "lm_perplexity_buckets", "ccnet_keep_list",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())

@@ -78,6 +78,10 @@ precomputed per-language cutoffs.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -222,3 +226,92 @@ def ccnet_buckets(scored: DataFrame) -> DataFrame:
             .otherwise(F.lit("none")),
         )
     )
+
+
+_DETECT_SCHEMA = "doc_id string, detected string, text string"
+
+
+def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from n8n_tools_api_spark.refsem import detect_primary_language
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "detected": [detect_primary_language(t or "")["detected"]
+                         for t in pdf["text"]],
+            "text": pdf["text"],
+        })
+
+
+def ccnet_keep_list(docs: DataFrame, *,
+                    train_seed: int = 271828, train_rate: float = 0.3,
+                    tail_seed: int = 314159, tail_rate: float = 0.1,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """The composed CCNet pipeline in the paper's stage order (Wenzek
+    et al. 2020 §3): language ID → per-detected-language LM perplexity
+    → head/middle/tail split → disposition.  The reference's A6
+    char-coverage detector (the engine's language-ID stage, refsem —
+    the same function `operators/textstats.py:detect_language` runs)
+    stands in for fastText, grouping the LM by DETECTED language, not
+    any metadata column; pages the detector can't identify
+    (``unknown``: blank or best coverage ≤ 0.5) are gated out BEFORE
+    the LM, exactly like CCNet's lang-ID threshold.
+
+    Disposition ladder (one status per input document):
+
+    * ``rejected_lang`` — detected ``unknown``; never reaches the LM,
+      so its n_bigrams/ppx/tile/bucket are NULL;
+    * ``rejected_empty`` — identified language but no bigram (< 2
+      words): bucket ``none``;
+    * ``kept_head`` / ``kept_middle`` — CCNet keeps these outright;
+    * ``kept_tail_sampled`` / ``rejected_tail`` — the tail third is
+      downsampled at ``tail_rate`` with the engine-portable md5-prefix
+      key (operators/sampling.py), CCNet's "discard or subsample the
+      tail" convention made deterministic.
+
+    Output: (doc_id, detected, n_bigrams, ppx_q16, tile, bucket,
+    status).  Scale shape: the detector is one narrow Arrow stage
+    materialized ONCE (both the known and unknown branches read it —
+    the filter-and-union would otherwise run the UDF twice); the LM
+    inherits lm_perplexity's broadcast shape; the only wide work
+    beyond it is the report-scale ntile.
+    """
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
+    from n8n_tools_api_spark.operators.sampling import (
+        sample_key, sample_threshold_hex)
+
+    mat = RoundMaterializer(checkpoint_dir)
+    detected = mat(
+        docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                    F.col(text_col).alias("text"))
+        .mapInPandas(_detect_batches, schema=_DETECT_SCHEMA),
+        "ccnet_detected", eager=False,
+    )
+    known = detected.where(F.col("detected") != "unknown")
+    train = sample_key(F.col("doc_id"), train_seed) \
+        < F.lit(sample_threshold_hex(train_rate))
+    scored = ccnet_buckets(lm_perplexity(
+        known, train, group_col="detected",
+        checkpoint_dir=checkpoint_dir))
+    kept = scored.select(
+        "doc_id",
+        F.col("grp").alias("detected"),
+        "n_bigrams", "ppx_q16", "tile", "bucket",
+        F.when(F.col("bucket") == "none", F.lit("rejected_empty"))
+        .when(F.col("bucket") == "head", F.lit("kept_head"))
+        .when(F.col("bucket") == "middle", F.lit("kept_middle"))
+        .when(sample_key(F.col("doc_id"), tail_seed)
+              < F.lit(sample_threshold_hex(tail_rate)),
+              F.lit("kept_tail_sampled"))
+        .otherwise(F.lit("rejected_tail")).alias("status"),
+    )
+    rejected = detected.where(F.col("detected") == "unknown").select(
+        "doc_id", "detected",
+        F.lit(None).cast("bigint").alias("n_bigrams"),
+        F.lit(None).cast("bigint").alias("ppx_q16"),
+        F.lit(None).cast("bigint").alias("tile"),
+        F.lit(None).cast("string").alias("bucket"),
+        F.lit("rejected_lang").alias("status"),
+    )
+    return kept.unionByName(rejected)

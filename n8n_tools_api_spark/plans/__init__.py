@@ -37,6 +37,7 @@ _DRIVER_PRIORITY = [
     "token_pack_manifest",
     "dsir_selection",
     "lm_perplexity_buckets",
+    "ccnet_keep_list",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -47,13 +48,14 @@ _DRIVER_PRIORITY = [
 
 
 # Pushed past the 50-row window: mature single-table / simple-join
-# rollups (plus q5 and q3, 4-round-green multi-join analogs displaced
-# by the round-5 dsir_selection and lm_perplexity_buckets), each
-# driver-green in several prior rounds (r01-r04) and byte-stable since
-# — the least informative rows to re-check. Product-flow queries
+# rollups (plus q5/q3/q1, 4-round-green analogs displaced by the
+# round-5 dsir_selection, lm_perplexity_buckets, and ccnet_keep_list),
+# each driver-green in several prior rounds (r01-r04) and byte-stable
+# since — the least informative rows to re-check. Product-flow queries
 # (extraction, curation, dedup, media, streaming, lineage) stay inside
 # the window.
 _DRIVER_TAIL = [
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q10_returned_items",

@@ -4635,6 +4635,136 @@ ORDER BY doc_id
 """
 
 
+def ccnet_keep_list_q(spark, sf_dir):
+    """COMPOSED CCNET PIPELINE ORACLE: the paper's stage order end to
+    end (operators/lm_ppx.py:ccnet_keep_list — Wenzek et al. 2020 §3):
+    the reference's A6 char-coverage detector (the real Arrow refsem
+    UDF) gates unidentifiable pages first (CCNet's lang-ID threshold),
+    the per-DETECTED-language hashed-bigram LM scores the survivors,
+    ntile(3) splits each language into head/middle/tail, and the tail
+    is downsampled at 10% with the engine-portable md5-prefix key —
+    one disposition per input page across five statuses.
+
+    Planted edges: an empty and a NULL-text page (blank → ``unknown``
+    → rejected_lang), a digits-only page (coverage ≤ 0.5 →
+    rejected_lang), a one-word page (identified but bigram-less →
+    rejected_empty).  DuckDB replays the WHOLE chain in one query:
+    char-coverage detection (the doc_language_scores replay) feeding
+    the LM/ntile replay (the lm_perplexity_buckets machinery) feeding
+    the status ladder."""
+    from n8n_tools_api_spark.operators.lm_ppx import ccnet_keep_list
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    planted = spark.createDataFrame(
+        [("mtppx_1", ""), ("nulppx_1", None), ("oneppx_1", "solitary"),
+         ("numppx_1", "123 456 789 101 112")],
+        "doc_id string, text string")
+    return ccnet_keep_list(docs.unionByName(planted)).orderBy("doc_id")
+
+
+# One DuckDB query chains all three replays: A6 char-coverage
+# detection -> per-detected-language add-one bigram LM with integer
+# sixteenth-bit surprisal -> ntile(3) thirds -> disposition ladder
+# with the md5-prefix tail downsample. CTEs forced MATERIALIZED (deep
+# chains re-expand per reference otherwise — see web_curation).
+CCNET_KEEP_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL SELECT 'mtppx_1', ''
+  UNION ALL SELECT 'nulppx_1', NULL
+  UNION ALL SELECT 'oneppx_1', 'solitary'
+  UNION ALL SELECT 'numppx_1', '123 456 789 101 112'
+),
+langscored AS (
+  SELECT doc_id, text,
+{_LANG_SCORE_COLS_ALL},
+         text IS NULL
+           OR trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                   || chr(11) || chr(12)) = '' AS is_blank
+  FROM corpus
+),
+det AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN is_blank OR best <= 0.5 THEN 'unknown'
+{_LANG_PICK}
+         END AS detected
+  FROM (SELECT *, {_LANG_BEST} AS best FROM langscored)
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, detected AS grp,
+         substring(md5('271828:' || doc_id), 1, 8) < '4ccccccc'
+           AS is_train,
+         [substring(md5('ppx:' || w), 1, 3) for w in
+          regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\\s+')
+          if w <> ''] AS bs
+  FROM det WHERE detected <> 'unknown'
+),
+big AS MATERIALIZED (
+  SELECT doc_id, grp, is_train, bs[i] AS b1, bs[i + 1] AS b2
+  FROM tok, UNNEST(generate_series(1, greatest(len(bs) - 1, 0))) AS t(i)
+),
+trainbig AS MATERIALIZED (
+  SELECT grp, b1, b2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM big WHERE is_train GROUP BY grp, b1, b2
+),
+trainctx AS MATERIALIZED (
+  SELECT grp, b1, CAST(SUM(cb) AS BIGINT) AS cc
+  FROM trainbig GROUP BY grp, b1
+),
+toks16 AS (
+  SELECT doc_id,
+         16 * (len(bin(den // num)) - 1)
+         + (den * 16)
+           // (num * (CAST(1 AS BIGINT) << (len(bin(den // num)) - 1)))
+         - 16 AS s16
+  FROM (SELECT doc_id,
+               CAST(COALESCE(cb, 0) + 1 AS BIGINT) AS num,
+               CAST(COALESCE(cc, 0) + 4096 AS BIGINT) AS den
+        FROM big LEFT JOIN trainbig USING (grp, b1, b2)
+                 LEFT JOIN trainctx USING (grp, b1))
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(s16) AS BIGINT) AS surprisal_q16
+  FROM toks16 GROUP BY doc_id
+),
+rep AS MATERIALIZED (
+  SELECT t.doc_id, t.grp,
+         CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CASE WHEN COALESCE(n_bigrams, 0) > 0
+              THEN CAST(surprisal_q16 // n_bigrams AS BIGINT) END
+           AS ppx_q16
+  FROM tok t LEFT JOIN scored s USING (doc_id)
+),
+tiled AS MATERIALIZED (
+  SELECT doc_id, grp, n_bigrams, ppx_q16, tile,
+         CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   WHEN 3 THEN 'tail' ELSE 'none' END AS bucket
+  FROM (
+    SELECT *, CAST(CASE WHEN ppx_q16 IS NOT NULL THEN
+                 ntile(3) OVER (PARTITION BY grp, ppx_q16 IS NULL
+                                ORDER BY ppx_q16, doc_id) END AS BIGINT)
+             AS tile
+    FROM rep)
+)
+SELECT doc_id, grp AS detected, n_bigrams, ppx_q16, tile, bucket,
+       CASE WHEN bucket = 'none' THEN 'rejected_empty'
+            WHEN bucket = 'head' THEN 'kept_head'
+            WHEN bucket = 'middle' THEN 'kept_middle'
+            WHEN substring(md5('314159:' || doc_id), 1, 8) < '19999999'
+              THEN 'kept_tail_sampled'
+            ELSE 'rejected_tail' END AS status
+FROM tiled
+UNION ALL
+SELECT doc_id, detected, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 'rejected_lang'
+FROM det WHERE detected = 'unknown'
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4710,4 +4840,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "token_pack_manifest": (token_pack_manifest_q, TOKEN_PACK_SQL),
     "dsir_selection": (dsir_selection_q, DSIR_SQL),
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
+    "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
 }

@@ -173,3 +173,57 @@ class TestScaleShape:
             lm_perplexity(d, F.lit(True), bucket_hexlen=0)
         with pytest.raises(ValueError):
             lm_perplexity(d, F.lit(True), bucket_hexlen=5)
+
+
+class TestCcnetKeepList:
+    def _corpus(self, spark):
+        rows = [("u1", "123 456 789"),          # coverage<=0.5 -> unknown
+                ("u2", None), ("u3", "   "),    # blank -> unknown
+                ("w1", "solitary")]             # english, bigram-less
+        rows += [(f"e{i}", " ".join(f"word{i}x{j}" for j in range(8)))
+                 for i in range(7)]             # 7 english docs
+        rows += [("g1", "der hund schläft überall gemütlich größer")]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_disposition_ladder(self, spark):
+        from n8n_tools_api_spark.operators.lm_ppx import ccnet_keep_list
+
+        out = {r["doc_id"]: r for r in
+               ccnet_keep_list(self._corpus(spark)).collect()}
+        assert len(out) == 12  # one disposition per input page
+        for d in ("u1", "u2", "u3"):
+            r = out[d]
+            assert r["status"] == "rejected_lang"
+            assert r["detected"] == "unknown"
+            assert r["n_bigrams"] is None and r["bucket"] is None
+        assert out["w1"]["status"] == "rejected_empty"
+        assert out["w1"]["detected"] == "english"
+        assert out["g1"]["detected"] == "german"
+        en = [out[f"e{i}"] for i in range(7)]
+        assert sorted(r["bucket"] for r in en) == \
+            ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+        for r in en:
+            if r["bucket"] == "head":
+                assert r["status"] == "kept_head"
+            elif r["bucket"] == "middle":
+                assert r["status"] == "kept_middle"
+            else:
+                key = hashlib.md5(f"314159:{r['doc_id']}".encode()) \
+                    .hexdigest()[:8]
+                want = ("kept_tail_sampled" if key < "19999999"
+                        else "rejected_tail")
+                assert r["status"] == want, r["doc_id"]
+
+    def test_detector_gates_before_lm(self, spark):
+        # unknown pages must not influence any language's LM: adding
+        # them leaves every other page's ppx unchanged
+        from n8n_tools_api_spark.operators.lm_ppx import ccnet_keep_list
+
+        base = self._corpus(spark)
+        known_only = base.where(~F.col("doc_id").startswith("u"))
+        a = {r["doc_id"]: r["ppx_q16"]
+             for r in ccnet_keep_list(base).collect()
+             if not r["doc_id"].startswith("u")}
+        b = {r["doc_id"]: r["ppx_q16"]
+             for r in ccnet_keep_list(known_only).collect()}
+        assert a == b
