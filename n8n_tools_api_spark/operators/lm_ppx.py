@@ -131,18 +131,30 @@ def lm_perplexity(docs: DataFrame, train_filter: Column, *,
     from n8n_tools_api_spark.operators.materialize import RoundMaterializer
 
     v = 16 ** bucket_hexlen
-    bks = token_buckets(F.col(text_col), bucket_hexlen)
     mat = RoundMaterializer(checkpoint_dir)
+    # The bucket array is bound as a COLUMN of its own projection
+    # before any lambda touches it: Spark does not eliminate common
+    # subexpressions inside higher-order-function lambdas, so inlining
+    # the md5-transform expression into element_at would re-hash the
+    # whole document once per bigram — O(tokens²) md5 per doc
+    # (measured 354 s -> a few seconds on the 100k-doc 2-core bench).
+    # CollapseProject keeps the projections apart because the alias is
+    # referenced more than once and is non-cheap.
+    with_bks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        .alias("grp"),
+        train_filter.alias("is_train"),
+        token_buckets(F.col(text_col), bucket_hexlen).alias("bks"),
+    )
+    bks = F.col("bks")
     # explode_OUTER keeps bigram-less documents as one (NULL, NULL)
     # row, so the final per-doc aggregation already covers every input
     # document — no join back to ``docs`` (a wide sort-merge join on a
     # 100-TB corpus) is ever needed
     exploded = mat(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.coalesce(F.col(group_col).cast("string"), F.lit(""))
-            .alias("grp"),
-            train_filter.alias("is_train"),
+        with_bks.select(
+            "doc_id", "grp", "is_train",
             F.explode_outer(
                 F.when(
                     F.size(bks) >= 2,
