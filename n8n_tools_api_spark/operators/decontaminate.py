@@ -39,12 +39,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _word_grams(text_col, n: int):
-    """DISTINCT word n-grams of a text column as an array<string>."""
-    words = F.filter(
+def _words(text_col):
+    """The repo-standard word split as an array<string> column."""
+    return F.filter(
         F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+"),
         lambda w: w != "",
     )
+
+
+def _grams_of(words, n: int):
+    """DISTINCT word n-grams from a word array.  ``words`` MUST be a
+    bound column attribute (its own projection), never the inline
+    split expression: Spark does no common-subexpression elimination
+    inside higher-order-function lambdas, so an inline expression
+    would re-split the whole text once per gram — O(words²) per doc
+    (the lm_ppx 17× finding; at n=13 the slice alone re-walks 13
+    re-splits per position)."""
     nw = F.size(words)
     grams = (
         F.when(nw == 0, F.array().cast("array<string>"))
@@ -63,8 +73,8 @@ def benchmark_grams(bench: DataFrame, n: int = 13,
                     text_col: str = "text") -> DataFrame:
     """Distinct non-empty word ``n``-grams of an eval set: (gram)."""
     return (
-        bench.select(
-            F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
+        bench.select(_words(F.col(text_col)).alias("_ws"))
+        .select(F.explode(_grams_of(F.col("_ws"), n)).alias("gram"))
         .where(F.col("gram") != "")
         .distinct()
     )
@@ -93,7 +103,10 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13,
     bgrams = benchmark_grams(bench, n=n, text_col=bench_text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        _word_grams(F.col(text_col), n).alias("_grams"),
+        _words(F.col(text_col)).alias("_ws"),
+    ).select(
+        "doc_id",
+        _grams_of(F.col("_ws"), n).alias("_grams"),
     )
     hits = (
         base.select("doc_id", F.explode("_grams").alias("gram"))

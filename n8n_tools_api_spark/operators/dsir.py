@@ -65,13 +65,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def hashed_gram_buckets(text_col, bucket_hexlen: int = 3):
-    """Unigram+bigram md5-prefix bucket keys of a text column, with
-    occurrence multiplicity, as an ``array<string>``."""
-    words = F.filter(
+def split_words(text_col):
+    """The repo-standard word split as an array<string> column."""
+    return F.filter(
         F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+"),
         lambda w: w != "",
     )
+
+
+def hashed_gram_buckets(words, bucket_hexlen: int = 3):
+    """Unigram+bigram md5-prefix bucket keys, with occurrence
+    multiplicity, as an ``array<string>``.  ``words`` MUST be a bound
+    column attribute (project ``split_words`` first): Spark does no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so passing the inline split expression would re-split the
+    whole text once per bigram — O(words²) per document (the lm_ppx
+    17× finding)."""
     nw = F.size(words)
     bigrams = (
         F.when(
@@ -132,15 +141,19 @@ def dsir_importance(docs: DataFrame, target: DataFrame, *,
     exploded = mat(
         docs.select(
             F.col(id_col).alias("doc_id"),
+            split_words(F.col(text_col)).alias("_ws"),
+        ).select(
+            "doc_id",
             F.explode(hashed_gram_buckets(
-                F.col(text_col), bucket_hexlen)).alias("bucket"),
+                F.col("_ws"), bucket_hexlen)).alias("bucket"),
         ),
         "dsir_grams", eager=False,
     )
     tcounts = mat(
         _bucket_counts(
-            target.select(hashed_gram_buckets(
-                F.col(target_text_col), bucket_hexlen).alias("_b")), "_b"),
+            target.select(split_words(F.col(target_text_col)).alias("_ws"))
+            .select(hashed_gram_buckets(
+                F.col("_ws"), bucket_hexlen).alias("_b")), "_b"),
         "dsir_tcounts", eager=False,
     )
     rcounts = mat(

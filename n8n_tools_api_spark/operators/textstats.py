@@ -136,17 +136,23 @@ def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
     )
 
     def top_gram(n: int, out: str) -> DataFrame:
-        words = F.filter(F.split(F.trim(F.col("_t")), r"\s+"),
-                         lambda x: x != "")
+        # words bound as a column BEFORE the gram lambda — inlining the
+        # split into slice() re-splits the text once per gram, O(words²)
+        # per doc (no CSE inside HOF lambdas; the lm_ppx 17× finding)
+        wbase = base.select(
+            "doc_id", "total_chars",
+            F.filter(F.split(F.trim(F.col("_t")), r"\s+"),
+                     lambda x: x != "").alias("_ws"))
+        w = F.col("_ws")
         grams = F.when(
-            F.size(words) >= n,
+            F.size(w) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        exploded = base.select("doc_id", "total_chars",
-                               F.explode(grams).alias("gram"))
+        exploded = wbase.select("doc_id", "total_chars",
+                                F.explode(grams).alias("gram"))
         counted = exploded.groupBy("doc_id", "total_chars", "gram") \
             .agg(F.count("*").alias("cnt")) \
             .where(F.col("cnt") >= 2)
