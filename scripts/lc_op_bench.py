@@ -34,6 +34,11 @@ n_exec = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 cores = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 mb_each = int(sys.argv[4]) if len(sys.argv) > 4 else 10240
 total = n_exec * cores
+# Shuffle-partition count defaults to the core count (production sizing),
+# but can be pinned across levels to hold per-task state constant when a
+# pair needs partitioning isolated from parallelism (the lm_ppx 8M pair:
+# partitions-scaled N ran 4x-larger per-task aggregation hash maps).
+SHUFFLE_PARTS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(total)))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_OP_REPLICAS", "20"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 corpus_path = f"/tmp/spark_graft_bench/op_corpus_r{REPLICAS}.parquet"
@@ -41,7 +46,7 @@ corpus_path = f"/tmp/spark_graft_bench/op_corpus_r{REPLICAS}.parquet"
 spark = (SparkSession.builder
          .master(f"local-cluster[{n_exec},{cores},{mb_each}]")
          .appName(f"lc-{OP}-{n_exec}x{cores}")
-         .config("spark.sql.shuffle.partitions", str(total))
+         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTS))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.executorEnv.PYTHONPATH", REPO)
          .config("spark.driver.memory", "8g")
