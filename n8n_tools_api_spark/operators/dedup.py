@@ -892,3 +892,75 @@ def exact_substr_dedup(docs: DataFrame, window: int = 50,
         (F.size("ws") - F.size(kept)).cast("int").alias("n_removed"),
         "n_dup_windows",
     )
+
+
+def line_dedup(docs: DataFrame, min_doc_freq: int = 2,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """RefinedWeb-style exact LINE dedup (Penedo et al. 2023 §3.2/G:
+    "remove duplicated lines" — the line-granularity boilerplate rule
+    that nav bars, cookie banners, and footers fall to): any line whose
+    trimmed form appears in at least ``min_doc_freq`` DISTINCT
+    documents is removed from EVERY document — no canonical survivor,
+    unlike :func:`c4_span_dedup` / :func:`exact_substr_dedup`, because
+    a line shared across sites is boilerplate, not content (the
+    paper's motivation; pinned here).
+
+    Pinned semantics (replayed exactly by the DuckDB oracle):
+
+    * lines are ``split(text, '\\n')`` of the null-coalesced text —
+      an empty/NULL document yields ONE empty line (both engines
+      agree), which survives untouched;
+    * a line's dedup key is its TRIMMED text; whitespace-only lines
+      are never candidates and always survive (removing them would
+      mangle paragraph structure for zero dedup value);
+    * the criterion is distinct-DOCUMENT frequency, not occurrence
+      count: a document repeating its own unique line keeps it
+      (in-doc repetition is Gopher's job, not boilerplate removal);
+    * removal is by key, rebuild preserves the ORIGINAL (untrimmed)
+      surviving lines joined by ``'\\n'``.
+
+    Output: (doc_id, clean_text, n_lines, n_removed), one row per
+    input document.
+
+    Scale shape: line splitting is a per-row projection (zero
+    shuffle); only slim (doc_id, q, h) occurrence rows reach the
+    key-keyed exchanges — the distinct-doc count is a two-phase
+    (h, doc_id)-then-h aggregation, map-side combined on uniform md5
+    keys; the join back onto occurrences hits hot h keys exactly where
+    boilerplate is common (that IS the signal) — AQE skew-join splits
+    them (enabled in session.get_spark) and only 8-byte-key rows ride
+    the split; removal positions return on a doc-keyed join. Line TEXT
+    never rides a key-keyed shuffle. No UDFs.
+    """
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lined = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(t, "\n", -1).alias("ls"),
+    )
+    occ = (
+        lined.select("doc_id", F.posexplode("ls").alias("q", "line"))
+        .select("doc_id", "q", F.trim("line").alias("key"))
+        .where(F.col("key") != "")
+        .select("doc_id", "q", F.md5(F.col("key").cast("binary")).alias("h"))
+    )
+    boiler = (occ.groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("df"))
+              .where(F.col("df") >= min_doc_freq)
+              .select("h"))
+    removals = (occ.join(boiler, "h")
+                .groupBy("doc_id")
+                .agg(F.collect_list("q").alias("qs")))
+    merged = lined.join(removals, "doc_id", "left").select(
+        "doc_id", "ls",
+        F.coalesce("qs", F.array().cast("array<int>")).alias("qs"),
+    )
+    kept = F.filter("ls", lambda l, i: ~F.array_contains("qs", i))
+    return merged.select(
+        "doc_id",
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size("ls").cast("int").alias("n_lines"),
+        (F.size("ls") - F.size(kept)).cast("int").alias("n_removed"),
+    )

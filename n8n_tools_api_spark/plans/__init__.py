@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "dsir_selection",
     "lm_perplexity_buckets",
     "ccnet_keep_list",
+    "line_dedup",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",

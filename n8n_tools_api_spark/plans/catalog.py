@@ -4764,6 +4764,123 @@ FROM det WHERE detected = 'unknown'
 ORDER BY doc_id
 """
 
+def line_dedup_q(spark, sf_dir):
+    """EXACT LINE DEDUP ORACLE (RefinedWeb-style boilerplate-line
+    removal, operators/dedup.py:line_dedup) — over documents<150 plus
+    planted branches: 20 ``cpy_`` verbatim copies (every non-blank
+    line of the copied bases becomes boilerplate and is removed from
+    BOTH sides), 40 ``ftr_`` docs sharing a per-group footer line
+    (removed everywhere, content lines survive), 12 ``ws_`` docs
+    carrying the same footer with extra surrounding whitespace (pins
+    the trimmed-key rule), 15 ``rep_`` docs repeating their own unique
+    line (distinct-DOC frequency rule: kept), 10 ``blk_`` docs with
+    whitespace-only lines (never candidates, always survive), 8
+    ``nul_`` NULL-text rows (one empty line, survives). DuckDB replays
+    line splitting, trimmed-key hashing, the distinct-doc frequency
+    gate, and the positional rebuild exactly."""
+    from n8n_tools_api_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 8).cast("string")
+    base = docs.where(F.col("doc_id") < 150).select(
+        did.alias("doc_id"), "text")
+    cpy = docs.where(F.col("doc_id") < 20).select(
+        F.concat(F.lit("cpy_"), did).alias("doc_id"), "text")
+    ftr = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("ftr_"), did).alias("doc_id"),
+        F.concat(F.lit("Content line "), did,
+                 F.lit(" one.\nShared footer for group "), g,
+                 F.lit(" subscribe now\nContent line "), did,
+                 F.lit(" two.")).alias("text"))
+    ws = docs.where(F.col("doc_id") < 12).select(
+        F.concat(F.lit("ws_"), did).alias("doc_id"),
+        F.concat(F.lit("Lead line "), did,
+                 F.lit(".\n  Shared footer for group "), g,
+                 F.lit(" subscribe now  \nTrail line "), did,
+                 F.lit(".")).alias("text"))
+    rep = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("rep_"), did).alias("doc_id"),
+        F.concat(F.lit("Self line "), did,
+                 F.lit(" repeated\nSelf line "), did,
+                 F.lit(" repeated\nTail line "), did).alias("text"))
+    blk = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("blk_"), did).alias("doc_id"),
+        F.concat(F.lit("   \nReal line "), did, F.lit("\n")).alias("text"))
+    nul = docs.where(F.col("doc_id") < 8).select(
+        F.concat(F.lit("nul_"), did).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"))
+    corpus = (base.unionByName(cpy).unionByName(ftr).unionByName(ws)
+              .unionByName(rep).unionByName(blk).unionByName(nul))
+    return line_dedup(corpus).orderBy("doc_id")
+
+
+LINE_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT 'cpy_' || CAST(doc_id AS VARCHAR), text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'ftr_' || CAST(doc_id AS VARCHAR),
+         'Content line ' || CAST(doc_id AS VARCHAR) || ' one.' || chr(10)
+         || 'Shared footer for group ' || CAST(doc_id % 8 AS VARCHAR)
+         || ' subscribe now' || chr(10)
+         || 'Content line ' || CAST(doc_id AS VARCHAR) || ' two.'
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT 'ws_' || CAST(doc_id AS VARCHAR),
+         'Lead line ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+         || '  Shared footer for group ' || CAST(doc_id % 8 AS VARCHAR)
+         || ' subscribe now  ' || chr(10)
+         || 'Trail line ' || CAST(doc_id AS VARCHAR) || '.'
+  FROM documents WHERE doc_id < 12
+  UNION ALL
+  SELECT 'rep_' || CAST(doc_id AS VARCHAR),
+         'Self line ' || CAST(doc_id AS VARCHAR) || ' repeated' || chr(10)
+         || 'Self line ' || CAST(doc_id AS VARCHAR) || ' repeated' || chr(10)
+         || 'Tail line ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'blk_' || CAST(doc_id AS VARCHAR),
+         '   ' || chr(10) || 'Real line ' || CAST(doc_id AS VARCHAR)
+         || chr(10)
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 'nul_' || CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM documents WHERE doc_id < 8
+),
+lined AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM corpus
+),
+occ AS (
+  SELECT doc_id, i - 1 AS q, md5(trim(ls[i])) AS h
+  FROM lined, UNNEST(generate_series(1, len(ls))) AS t(i)
+  WHERE trim(ls[i]) != ''
+),
+boiler AS (
+  SELECT h FROM occ GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+rem AS (
+  SELECT doc_id, list(q) AS qs
+  FROM occ JOIN boiler USING (h) GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT l.doc_id, ls,
+         [ls[j] for j in generate_series(1, len(ls))
+          if NOT list_contains(COALESCE(qs, []), j - 1)] AS kept
+  FROM lined l LEFT JOIN rem r USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(ls) - len(kept) AS INT) AS n_removed
+FROM rebuilt
+ORDER BY doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -4841,4 +4958,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "dsir_selection": (dsir_selection_q, DSIR_SQL),
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
+    "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),
 }

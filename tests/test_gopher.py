@@ -282,3 +282,75 @@ class TestExactSubstrDedup:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             exact_substr_dedup(df, window=0)
+
+
+class TestLineDedup:
+    """RefinedWeb-style exact line dedup (operators/dedup.py:line_dedup)."""
+
+    def _run(self, spark, rows, **kw):
+        from n8n_tools_api_spark.operators.dedup import line_dedup
+
+        return {r["doc_id"]: r for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id string, text string"), **kw
+        ).collect()}
+
+    def test_boilerplate_line_removed_from_every_doc(self, spark):
+        out = self._run(spark, [
+            ("a", "unique a\nSubscribe to our newsletter\nmore a"),
+            ("b", "unique b\nSubscribe to our newsletter\nmore b"),
+        ])
+        # no canonical survivor — the shared line is boilerplate everywhere
+        assert out["a"]["clean_text"] == "unique a\nmore a"
+        assert out["b"]["clean_text"] == "unique b\nmore b"
+        assert out["a"]["n_removed"] == 1 and out["b"]["n_removed"] == 1
+
+    def test_trimmed_key_matches_whitespace_variants(self, spark):
+        out = self._run(spark, [
+            ("a", "keep a\nShared footer line"),
+            ("b", "keep b\n   Shared footer line   "),
+        ])
+        assert out["a"]["clean_text"] == "keep a"
+        assert out["b"]["clean_text"] == "keep b"
+
+    def test_in_doc_repetition_is_not_boilerplate(self, spark):
+        out = self._run(spark, [
+            ("r", "same line twice\nsame line twice\ntail"),
+            ("s", "unrelated doc"),
+        ])
+        # distinct-DOC frequency = 1 → kept (Gopher handles in-doc reps)
+        assert out["r"]["n_removed"] == 0
+        assert out["r"]["clean_text"] == "same line twice\nsame line twice\ntail"
+
+    def test_blank_lines_and_null_text_survive(self, spark):
+        out = self._run(spark, [
+            ("n", None),
+            ("w", "   \nreal w\n"),
+            ("x", "   \nreal x\n"),
+        ])
+        # whitespace-only lines are never candidates even though both
+        # docs share them; NULL text is one empty surviving line
+        assert out["n"]["clean_text"] == "" and out["n"]["n_lines"] == 1
+        assert out["w"]["clean_text"] == "   \nreal w\n"
+        assert out["w"]["n_removed"] == 0
+
+    def test_min_doc_freq_threshold(self, spark):
+        rows = [(f"d{i}", f"only mine {i}\ncommon footer") for i in range(3)]
+        out2 = self._run(spark, rows, min_doc_freq=2)
+        out4 = self._run(spark, rows, min_doc_freq=4)
+        assert all(out2[f"d{i}"]["n_removed"] == 1 for i in range(3))
+        assert all(out4[f"d{i}"]["n_removed"] == 0 for i in range(3))
+        import pytest as _pytest
+        from n8n_tools_api_spark.operators.dedup import line_dedup
+        with _pytest.raises(ValueError):
+            line_dedup(spark.range(1).selectExpr(
+                "'a' doc_id", "'t' text"), min_doc_freq=1)
+
+    def test_partition_layout_invariance(self, spark):
+        from n8n_tools_api_spark.operators.dedup import line_dedup
+
+        rows = [(f"d{i:03d}", f"unique opener {i}\nshared footer everywhere")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        a = sorted(map(tuple, line_dedup(df.repartition(2)).collect()))
+        b = sorted(map(tuple, line_dedup(df.repartition(13)).collect()))
+        assert a == b
