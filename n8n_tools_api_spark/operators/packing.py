@@ -94,3 +94,61 @@ def token_pack(docs: DataFrame, block_size: int,
             (F.col("last_block") - F.col("first_block") + 1).cast("bigint"))
     )
     return out
+
+
+def shard_manifest(docs: DataFrame, n_shards: int, seed: int = 7,
+                   id_col: str = "doc_id",
+                   mode: str = "ranked") -> DataFrame:
+    """Deterministic pre-training shard layout — the global shuffle +
+    shard assignment every public pipeline runs between curation and
+    packing (GPT-2's WebText, The Pile, and FineWeb all shuffle
+    documents before writing training shards so no shard inherits
+    crawl-order correlation): documents are permuted by an
+    ENGINE-PORTABLE key — ``md5('<seed>:' || doc_id)`` (the same
+    convention as :mod:`.sampling`: identical on any engine, any
+    partition layout, any run) — and assigned to ``n_shards`` shards.
+
+    Two pinned modes (both replayed exactly by the DuckDB oracle):
+
+    * ``ranked`` (default): one global permutation — ``rank`` =
+      0-based position in ``(key, doc_id)`` order (the doc_id
+      tiebreak makes the order total even under an md5 collision);
+      ``shard = rank % n_shards`` (round-robin — shard sizes differ
+      by at most one), ``pos_in_shard = rank // n_shards``. The
+      single range exchange behind the global window is inherent to
+      a total permutation, exactly like :func:`token_pack`'s layout.
+    * ``hashed``: the scale path — ``shard`` comes straight from the
+      key (first 8 hex chars as an integer, mod ``n_shards``; no
+      global order), and ``pos_in_shard`` ranks within the shard, so
+      every window sorts per shard in parallel with no global
+      exchange. Shard sizes are binomial around N/n_shards (the md5
+      prefix is uniform) — the standard hash-partitioned layout.
+
+    Output: (doc_id, shard, pos_in_shard), one row per input document.
+    Slim columns only — text never enters the sort.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if mode not in ("ranked", "hashed"):
+        raise ValueError(f"mode must be 'ranked' or 'hashed', got {mode!r}")
+    key = F.md5(F.concat(
+        F.lit(f"{seed}:"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit(""))))
+    slim = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       key.alias("skey"))
+    if mode == "ranked":
+        w = Window.partitionBy().orderBy("skey", "doc_id")
+        ranked = slim.withColumn(
+            "rank", (F.row_number().over(w) - 1).cast("bigint"))
+        return ranked.select(
+            "doc_id",
+            (F.col("rank") % n_shards).cast("bigint").alias("shard"),
+            F.floor(F.col("rank") / n_shards).cast("bigint")
+            .alias("pos_in_shard"))
+    shard = (F.conv(F.substring("skey", 1, 8), 16, 10).cast("bigint")
+             % n_shards).cast("bigint")
+    sharded = slim.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return sharded.select(
+        "doc_id", "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos_in_shard"))

@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     "lm_perplexity_buckets",
     "ccnet_keep_list",
     "line_dedup",
+    "shard_manifest",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",

@@ -4882,6 +4882,58 @@ ORDER BY doc_id
 """
 
 
+def shard_manifest_q(spark, sf_dir):
+    """SHARD-MANIFEST ORACLE (deterministic training-shard layout,
+    operators/packing.py:shard_manifest) — both pinned modes over
+    documents<400 in one result: ``ranked`` (global md5-key
+    permutation, round-robin over 7 shards) and ``hashed`` (md5-prefix
+    integer mod 5 shards, per-shard ranks). DuckDB replays the
+    identical md5 keys, the (key, doc_id) total order, and both shard
+    assignments exactly — a green row pins the whole permutation, not
+    a statistic of it."""
+    from n8n_tools_api_spark.operators.packing import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    ranked = shard_manifest(docs, 7, seed=13).withColumn(
+        "mode", F.lit("ranked"))
+    hashed = shard_manifest(docs, 5, seed=13, mode="hashed").withColumn(
+        "mode", F.lit("hashed"))
+    return (ranked.unionByName(hashed)
+            .select("mode", "doc_id", "shard", "pos_in_shard")
+            .orderBy("mode", "doc_id"))
+
+
+SHARD_MANIFEST_SQL = r"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         md5('13:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents WHERE doc_id < 400
+),
+ranked AS (
+  SELECT 'ranked' AS mode, doc_id,
+         CAST((rn - 1) % 7 AS BIGINT) AS shard,
+         CAST((rn - 1) // 7 AS BIGINT) AS pos_in_shard
+  FROM (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn
+        FROM keyed)
+),
+hashed AS (
+  SELECT 'hashed' AS mode, doc_id, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                 ORDER BY skey, doc_id) - 1 AS BIGINT)
+           AS pos_in_shard
+  FROM (SELECT doc_id, skey,
+               CAST(CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 5
+                    AS BIGINT) AS shard
+        FROM keyed)
+)
+SELECT * FROM ranked
+UNION ALL
+SELECT * FROM hashed
+ORDER BY mode, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -4959,4 +5011,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),
+    "shard_manifest": (shard_manifest_q, SHARD_MANIFEST_SQL),
 }

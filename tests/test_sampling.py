@@ -197,3 +197,63 @@ class TestTokenPack:
         df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
         with pytest.raises(ValueError):
             token_pack(df, 0)
+
+
+class TestShardManifest:
+    """Deterministic shard layout (operators/packing.py:shard_manifest)."""
+
+    def _df(self, spark, n=101):
+        return spark.createDataFrame(
+            [(f"doc{i:04d}",) for i in range(n)], "doc_id string")
+
+    def test_ranked_round_robin_balances_and_is_a_permutation(self, spark):
+        from n8n_tools_api_spark.operators.packing import shard_manifest
+
+        out = shard_manifest(self._df(spark), 7, seed=13).collect()
+        sizes = {}
+        seen = set()
+        for r in out:
+            sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+            seen.add((r["shard"], r["pos_in_shard"]))
+        # 101 docs over 7 shards: sizes differ by at most one
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # (shard, pos) pairs are unique and positions are dense
+        assert len(seen) == 101
+        for sh, n in sizes.items():
+            assert {p for s, p in seen if s == sh} == set(range(n))
+
+    def test_hashed_mode_matches_hashlib_replay(self, spark):
+        import hashlib
+
+        from n8n_tools_api_spark.operators.packing import shard_manifest
+
+        out = shard_manifest(self._df(spark), 5, seed=13,
+                             mode="hashed").collect()
+        for r in out:
+            h = hashlib.md5(f"13:{r['doc_id']}".encode()).hexdigest()
+            assert r["shard"] == int(h[:8], 16) % 5
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_layout_invariance_and_seed_sensitivity(self, spark):
+        from n8n_tools_api_spark.operators.packing import shard_manifest
+
+        df = self._df(spark, 60)
+        a = sorted(map(tuple, shard_manifest(df.repartition(3), 4).collect()))
+        b = sorted(map(tuple, shard_manifest(df.repartition(11), 4).collect()))
+        assert a == b
+        c = sorted(map(tuple, shard_manifest(df, 4, seed=99).collect()))
+        assert a != c  # a different seed is a different permutation
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from n8n_tools_api_spark.operators.packing import shard_manifest
+
+        with _pytest.raises(ValueError):
+            shard_manifest(self._df(spark, 3), 0)
+        with _pytest.raises(ValueError):
+            shard_manifest(self._df(spark, 3), 2, mode="banana")
