@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "ccnet_keep_list",
     "line_dedup",
     "shard_manifest",
+    "bpe_merges",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",

@@ -4934,6 +4934,86 @@ ORDER BY mode, doc_id
 """
 
 
+def bpe_merges_q(spark, sf_dir):
+    """BPE MERGE-LEARNING ORACLE (Sennrich et al. 2016 subword units,
+    operators/bpe.py:bpe_learn) — the first 4 learned merges over
+    documents<120 plus 40 ``run_`` docs of repeated ``zzzz zzz zz``
+    runs (freq 2400 each: the (z,z) pair dominates round 1, so the
+    GREEDY LEFT-TO-RIGHT fold is exercised on both odd and even runs —
+    ``zzzz → zz zz``, ``zzz → zz z`` — and the follow-on rounds tie
+    run-derived pairs against each other, exercising the
+    count-desc-then-lexicographic argmax). DuckDB replays word
+    frequencies, per-round exact pair counts, the total-order argmax,
+    and the identical string-accumulator fold (``list_reduce`` vs
+    ``F.aggregate``) through all 4 unrolled rounds."""
+    from n8n_tools_api_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 120).select(
+        did.alias("doc_id"), "text")
+    run = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("run_"), did).alias("doc_id"),
+        F.repeat(F.lit("zzzz zzz zz "), 60).alias("text"))
+    return bpe_learn(base.unionByName(run), 4).orderBy("rank")
+
+
+def _bpe_round_cte(k: int, last: bool) -> str:
+    prev = f"s{k - 1}"
+    out = f"""
+p{k} AS (
+  SELECT q.s[i] AS l, q.s[i + 1] AS r, CAST(SUM(q.freq) AS BIGINT) AS c
+  FROM (SELECT string_split(sym, chr(31)) AS s, freq FROM {prev}) AS q,
+       UNNEST(generate_series(1, len(q.s) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p{k} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+)"""
+    if not last:
+        out += f""",
+s{k} AS MATERIALIZED (
+  SELECT freq, list_reduce(string_split(sym, chr(31)),
+    (acc, x) -> CASE WHEN x = b{k}.r AND (acc = b{k}.l
+                      OR ends_with(acc, chr(31) || b{k}.l))
+                THEN acc || x ELSE acc || chr(31) || x END) AS sym
+  FROM {prev} CROSS JOIN b{k}
+)"""
+    return out
+
+
+BPE_MERGES_SQL = (r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT 'run_' || CAST(doc_id AS VARCHAR), repeat('zzzz zzz zz ', 60)
+  FROM documents WHERE doc_id < 40
+),
+toks AS (
+  SELECT w AS word
+  FROM corpus,
+       UNNEST([x for x in
+               regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
+               if x != '']) AS t(w)
+  WHERE NOT contains(w, chr(31))
+),
+s0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         array_to_string([word[i] for i in
+                          generate_series(1, length(word))], chr(31))
+         || chr(31) || '</w>' AS sym
+  FROM toks GROUP BY word
+),"""
+    + ",".join(_bpe_round_cte(k, last=(k == 4)) for k in range(1, 5))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT CAST({k - 1} AS INT) AS rank, l AS "left", r AS "right",'
+        f' l || r AS merged, c AS pair_count FROM b{k}'
+        for k in range(1, 5))
+    + "\nORDER BY rank\n")
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -5012,4 +5092,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),
     "shard_manifest": (shard_manifest_q, SHARD_MANIFEST_SQL),
+    "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
 }
