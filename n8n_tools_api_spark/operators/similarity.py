@@ -241,3 +241,89 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, nlist: int = 16,
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
+
+
+def semdedup_keep_list(emb: DataFrame, threshold: float = 0.95,
+                       nlist: int = 16, iters: int = 1,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, then deduplicate ONLY within each
+    cluster — pairwise cosine is quadratic, so the clustering is what
+    makes semantic dedup tractable at web scale (the paper's central
+    trick; at 10^9 vectors raise ``nlist`` so the expected cluster
+    size stays bounded — cost is sum of per-cluster squares, never a
+    corpus cross-join).
+
+    Pinned semantics:
+
+    * clusters come from :func:`kmeans_refine` (deterministic seed
+      centroids + ``iters`` Lloyd rounds);
+    * a within-cluster pair is a semantic duplicate when cosine >=
+      ``threshold``; duplicate GROUPS are the connected components of
+      those pairs (:func:`~..operators.dedup.near_dup_components` —
+      A~B and B~C collapse even if A~C was never scored, matching the
+      paper's "duplicate set");
+    * each group keeps the member FARTHEST from its cluster centroid
+      (lowest centroid cosine — the paper's diversity rule: the
+      extreme point carries the most information), ties broken by
+      smallest id; everyone else is ``dropped_semdup``.
+
+    Output: (vec_id, cluster_id, centroid_sim, status, canonical) —
+    one row per input vector; ``canonical`` is the kept group
+    representative (itself for kept rows outside any group).
+
+    Scale shape: centroids stay broadcastable (nlist rows); the only
+    quadratic work is per-cluster and bounded by design; components
+    run over slim id pairs. Vectors never ride a key-keyed shuffle —
+    the self-join keys on cluster_id only.
+    """
+    from .dedup import near_dup_components
+    from .materialize import RoundMaterializer
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    mat = RoundMaterializer(checkpoint_dir)
+    centroids = kmeans_refine(emb, nlist, iters, id_col, vec_col,
+                              checkpoint_dir)
+    assigned = assign_to_centroids(emb, centroids, id_col, vec_col)
+    scored = mat(
+        assigned.join(F.broadcast(centroids), "cluster_id")
+        .select(F.col(id_col).alias("vec_id"), "cluster_id",
+                F.col(vec_col).alias("_v"),
+                cosine_similarity_col(F.col(vec_col), F.col("centroid"))
+                .alias("centroid_sim")),
+        "semdedup_scored")
+    a = scored.select(F.col("vec_id").alias("doc_a"), "cluster_id",
+                      F.col("_v").alias("_va"))
+    b = scored.select(F.col("vec_id").alias("doc_b"), "cluster_id",
+                      F.col("_v").alias("_vb"))
+    pairs = (a.join(b, "cluster_id")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .where(cosine_similarity_col(F.col("_va"), F.col("_vb"))
+                    >= threshold)
+             .select("doc_a", "doc_b"))
+    comp = near_dup_components(pairs, checkpoint_dir=checkpoint_dir) \
+        .withColumnRenamed("doc_id", "vec_id")
+    ranked = (scored.drop("_v").join(comp, "vec_id", "left"))
+    pick = Window.partitionBy("component").orderBy(
+        F.asc("centroid_sim"), F.asc("vec_id"))
+    canon = (ranked.where(F.col("component").isNotNull())
+             .withColumn("_rn", F.row_number().over(pick))
+             .where(F.col("_rn") == 1)
+             .select(F.col("component").alias("_comp"),
+                     F.col("vec_id").alias("_canon")))
+    # no broadcast hint: at corpus scale the canonical set is one row
+    # per duplicate GROUP — AQE picks broadcast when it fits
+    out = ranked.join(canon, ranked.component == F.col("_comp"), "left")
+    # semdedup_scored stays materialized until the caller's action —
+    # releasing here would delete reliable-mode files the lazy plan
+    # still reads (RoundMaterializer.release contract)
+    return out.select(
+        "vec_id", "cluster_id",
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        F.when(F.col("component").isNull() | (F.col("_canon") == F.col("vec_id")),
+               F.lit("kept")).otherwise(F.lit("dropped_semdup"))
+        .alias("status"),
+        F.coalesce("_canon", "vec_id").alias("canonical"))

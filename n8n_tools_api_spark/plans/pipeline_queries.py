@@ -362,6 +362,32 @@ def web_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _web_pipeline(spark, sf_dir, use_lsh=True).orderBy("doc_id")
 
 
+def semdedup_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list over embeddings plus 40 planted scalar-jitter
+    copies (direction preserved, cosine = 1 to the source): per-status
+    and per-cluster counts plus the planted-copy group check — every
+    jittered copy must land in a 2+-member duplicate group, so exactly
+    one of each pair survives (the member farthest from its centroid,
+    per the paper's diversity rule). Rows-only: k-means centroid means
+    are float aggregations with no closed-form SQL twin; semantics are
+    pinned by tests/test_similarity.py instead."""
+    from n8n_tools_api_spark.operators.similarity import semdedup_keep_list
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    jit = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(1.0005))
+        .alias("embedding"),
+        "label")
+    out = semdedup_keep_list(emb.unionByName(jit), threshold=0.99, nlist=8)
+    return (out.groupBy("status")
+            .agg(F.count("*").alias("n"),
+                 F.count_distinct("cluster_id").alias("n_clusters"),
+                 F.sum((F.col("canonical") != F.col("vec_id")).cast("int"))
+                 .alias("n_nonself_canonical"))
+            .orderBy("status"))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # extract_documents_stats moved to the ORACLE registry (flagship,
     # DuckDB-replayed via the proven clean6 mapping) — catalog.py
@@ -382,4 +408,5 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_neardup_prefilter": stream_neardup_prefilter,
     "stream_curation": stream_curation,
     "web_pipeline_lsh": web_pipeline_lsh,
+    "semdedup_status_counts": semdedup_status_counts,
 }

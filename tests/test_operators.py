@@ -719,3 +719,70 @@ class TestSimilarity:
                for r in ann_recall_at_k(emb, n_queries=2, k=10, nlist=4,
                                         nprobes=(4,)).collect()}
         assert got[4] == 1.0, got
+
+
+class TestSemDeDup:
+    """SemDeDup keep-list (operators/similarity.py:semdedup_keep_list)."""
+
+    def _run(self, spark, rows, **kw):
+        from n8n_tools_api_spark.operators.similarity import semdedup_keep_list
+
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        return {r["vec_id"]: r for r in semdedup_keep_list(emb, **kw).collect()}
+
+    def test_chain_groups_and_diversity_keep_rule(self, spark):
+        # a~b (0.96) and b~c (0.986) chain into one group even though
+        # a~c (0.90) is below the 0.93 threshold; the kept member is
+        # the one FARTHEST from the cluster centroid — a, the extreme
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),        # a
+            (2, [0.96, 0.28, 0.0, 0.0]),      # b
+            (3, [0.90, 0.436, 0.0, 0.0]),     # c
+            (4, [0.0, 0.0, 1.0, 0.0]),        # unrelated, orthogonal
+            (5, [0.0, 0.0, 0.0, 1.0]),        # unrelated, orthogonal
+        ]
+        out = self._run(spark, rows, threshold=0.93, nlist=2, iters=1)
+        assert out[1]["status"] == "kept"
+        assert out[2]["status"] == "dropped_semdup"
+        assert out[3]["status"] == "dropped_semdup"
+        assert out[2]["canonical"] == 1 and out[3]["canonical"] == 1
+        assert out[4]["status"] == "kept" and out[4]["canonical"] == 4
+        assert out[5]["status"] == "kept" and out[5]["canonical"] == 5
+
+    def test_exact_duplicates_keep_exactly_one(self, spark):
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]
+        rows += [(10 + i, [-4.0, 3.0, -2.0, 1.0]) for i in range(3)]
+        out = self._run(spark, rows, threshold=0.999, nlist=2, iters=1)
+        g1 = [v for v in out.values() if v["vec_id"] < 10]
+        g2 = [v for v in out.values() if v["vec_id"] >= 10]
+        assert sum(v["status"] == "kept" for v in g1) == 1
+        assert sum(v["status"] == "kept" for v in g2) == 1
+        # everyone in a group shares the kept member as canonical
+        assert len({v["canonical"] for v in g1}) == 1
+        assert len({v["canonical"] for v in g2}) == 1
+
+    def test_partition_layout_invariance(self, spark):
+        from n8n_tools_api_spark.operators.similarity import semdedup_keep_list
+
+        rows = [(i, [float(1 + (i % 7)), float(2 + (i % 3)),
+                     float(i % 5), 1.0]) for i in range(60)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        a = sorted(map(tuple, semdedup_keep_list(
+            emb.repartition(2), threshold=0.999, nlist=4).collect()))
+        b = sorted(map(tuple, semdedup_keep_list(
+            emb.repartition(9), threshold=0.999, nlist=4).collect()))
+        assert a == b
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+
+        from n8n_tools_api_spark.operators.similarity import semdedup_keep_list
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
+        with _pytest.raises(ValueError):
+            semdedup_keep_list(emb, threshold=0.0)
+        with _pytest.raises(ValueError):
+            semdedup_keep_list(emb, threshold=1.5)
