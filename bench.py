@@ -99,11 +99,13 @@ def main() -> None:
         "mixture_sample_report", "web_curation_keep_list",
         "exact_substr_dedup", "token_pack_manifest", "dsir_selection",
         "lm_perplexity_buckets", "ccnet_keep_list",
+        "line_dedup", "shard_manifest", "bpe_merges",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 
-    for name in ("minhash_near_dups", "simhash_near_dups", "ann_ivf_topk"):
+    for name in ("minhash_near_dups", "simhash_near_dups", "ann_ivf_topk",
+                 "semdedup_status_counts"):
         fn = PIPELINE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
 

@@ -148,6 +148,29 @@ elif OP == "lm_ppx":
         F.sum("surprisal_q16").cast("bigint").alias("surprisal_total"),
         F.sum("ppx_q16").cast("bigint").alias("ppx_sum"),
     ).collect()[0].asDict()
+elif OP == "line_dedup":
+    # sf texts are single-line; break sentences into lines so the
+    # operator carries a real line-granularity load (every line then
+    # recurs in all REPLICAS docs — worst-case removal volume)
+    from n8n_tools_api_spark.operators.dedup import line_dedup
+
+    lined = corpus.withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n"))
+    out = line_dedup(lined)
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_lines").cast("bigint").alias("lines"),
+        F.sum("n_removed").cast("bigint").alias("lines_removed"),
+    ).collect()[0].asDict()
+elif OP == "bpe":
+    # the corpus-scale stage is the word-frequency shuffle; the 8
+    # learning rounds iterate over the (fixed-size) vocab table
+    from n8n_tools_api_spark.operators.bpe import bpe_learn
+
+    merges = bpe_learn(corpus, 8).collect()
+    rollup = {"merges": len(merges),
+              "last_merged": merges[-1]["merged"] if merges else None,
+              "pair_count_total": int(sum(m["pair_count"] for m in merges))}
 else:
     raise SystemExit(f"unknown op {OP}")
 
