@@ -58,6 +58,13 @@ _DRIVER_PRIORITY = [
 # (extraction, curation, dedup, media, streaming, lineage) stay inside
 # the window.
 _DRIVER_TAIL = [
+    # displaced by the round-5 line_dedup / shard_manifest / bpe_merges
+    # additions: multi-round-green single-table per-row stat rollups —
+    # the least informative rows to re-check (product-flow queries like
+    # url_landing / media_* stay inside the window instead)
+    "doc_token_counts",
+    "doc_quality_scores",
+    "doc_fingerprints",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
