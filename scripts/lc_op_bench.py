@@ -155,7 +155,8 @@ elif OP == "line_dedup":
     from n8n_tools_api_spark.operators.dedup import line_dedup
 
     lined = corpus.withColumn(
-        "text", F.regexp_replace("text", r"\. ", ".\n"))
+        "text",
+        F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"))
     out = line_dedup(lined)
     rollup = out.agg(
         F.count("*").alias("docs"),
