@@ -72,15 +72,28 @@ def _apply_merge(sym_col: Column, left: str, right: str) -> Column:
     """Greedy left-to-right merge of (left, right) over a US-delimited
     symbol string: when the accumulator's last symbol is ``left`` and
     the next symbol is ``right``, appending ``right`` WITHOUT a
-    delimiter fuses them; otherwise append with the delimiter."""
+    delimiter fuses them; otherwise append with the delimiter.
+
+    ``sym_col`` is let-bound through a one-element ``transform`` so it
+    appears exactly ONCE in the produced expression (the fold's three
+    uses reference the lambda variable instead). Without the binding,
+    stacking merges — ``bpe_encode`` nests one ``_apply_merge`` per
+    learned merge — copies the previous level's subtree ~4× per level:
+    exponential expression growth that was MEASURED at a 25 MiB task
+    binary by merge 8; let-bound the growth is linear."""
     a, b = F.lit(left), F.lit(right)
-    s = F.split(sym_col, _US)
-    return F.aggregate(
-        F.slice(s, 2, F.size(s) - 1), F.element_at(s, 1),
-        lambda acc, x: F.when(
-            (x == b) & ((acc == a) | acc.endswith(F.concat(F.lit(_US), a))),
-            F.concat(acc, x),
-        ).otherwise(F.concat(acc, F.lit(_US), x)))
+
+    def _fold(sym: Column) -> Column:
+        s = F.split(sym, _US)
+        return F.aggregate(
+            F.slice(s, 2, F.size(s) - 1), F.element_at(s, 1),
+            lambda acc, x: F.when(
+                (x == b) & ((acc == a)
+                            | acc.endswith(F.concat(F.lit(_US), a))),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(_US), x)))
+
+    return F.element_at(F.transform(F.array(sym_col), _fold), 1)
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -144,3 +157,84 @@ def bpe_learn(docs: DataFrame, n_merges: int, min_count: int = 2,
         merges,
         "rank int, left string, right string, merged string, "
         "pair_count bigint")
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id",
+               vocab_join: bool = False) -> DataFrame:
+    """Apply a learned merge table to every document — the ENCODE half
+    of the tokenizer loop (``bpe_learn`` trains it; a packing stage
+    like operators/packing.py consumes the resulting token counts).
+
+    Pinned semantics (replayed exactly by the ``bpe_encoded_tokens``
+    oracle in plans/catalog.py):
+
+    * tokenization is identical to learning: whitespace split, case
+      preserved, empty tokens and US-containing words dropped (the
+      same documented ``\\x1f`` guard — such words are un-encodable
+      because US is the symbol delimiter);
+    * each word starts as its character sequence plus ``</w>`` and
+      every merge is applied IN LEARNED RANK ORDER as the same greedy
+      left-to-right fold learning used (``_apply_merge``) — replaying
+      training exactly, so a word seen at train time encodes to the
+      symbol string the final training vocabulary holds;
+    * output per input row: ``n_words`` (encodable words), ``n_tokens``
+      (total symbols after merging, the count a packing stage bins
+      on), and ``encoded`` — the document's US-delimited symbol
+      strings space-joined in word order ('' for an empty document).
+
+    Two physical shapes, identical results (pytest-pinned equality):
+
+    * ``vocab_join=False`` (default): one narrow per-row projection —
+      the fold runs per word OCCURRENCE. Zero exchanges; rides the
+      scan at 100 TB. Right when the merge table is small (the fold
+      is ``len(merges)`` nested higher-order expressions).
+    * ``vocab_join=True``: fold once per word TYPE (a distinct-word
+      aggregation bounded by vocabulary size), then map occurrences
+      through the vocab with a word-keyed equi-join of slim
+      (id, pos, word) rows and re-assemble in word order. Right when
+      the merge table is deep enough that per-occurrence folding
+      dominates the scan: CPU ∝ types instead of tokens, at the price
+      of two proportional-to-corpus slim shuffles. Nothing wide ever
+      carries full text either way.
+    """
+    def _enc(word: Column) -> Column:
+        sym = _initial_symbols(word)
+        for left, right in merges:
+            sym = _apply_merge(sym, left, right)
+        return sym
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"),
+                     lambda w: (w != "") & ~w.contains(_US))
+    if not vocab_join:
+        enc = F.transform(words, _enc)
+        return docs.select(
+            F.col(id_col),
+            F.size(words).alias("n_words"),
+            F.aggregate(enc, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.size(F.split(x, _US)))
+            .alias("n_tokens"),
+            F.concat_ws(" ", enc).alias("encoded"),
+        )
+    occurrences = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word"))
+    vocab = (occurrences.select("word").distinct()
+             .select("word", _enc(F.col("word")).alias("sym")))
+    per_doc = (occurrences.join(vocab, "word")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("int").alias("n_words"),
+                    F.sum(F.size(F.split("sym", _US))).cast("bigint")
+                    .alias("n_tokens"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "sym"))),
+                        lambda s: s["sym"])).alias("encoded")))
+    # posexplode drops empty documents — restore them as 0/0/'' so the
+    # operator is total like the narrow shape
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+                    .alias("n_tokens"),
+                    F.coalesce("encoded", F.lit("")).alias("encoded")))

@@ -4958,7 +4958,7 @@ def bpe_merges_q(spark, sf_dir):
     return bpe_learn(base.unionByName(run), 4).orderBy("rank")
 
 
-def _bpe_round_cte(k: int, last: bool) -> str:
+def _bpe_round_cte(k: int, emit_sym: bool, carry: str = "") -> str:
     prev = f"s{k - 1}"
     out = f"""
 p{k} AS (
@@ -4970,10 +4970,10 @@ p{k} AS (
 b{k} AS MATERIALIZED (
   SELECT l, r, c FROM p{k} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
 )"""
-    if not last:
+    if emit_sym:
         out += f""",
 s{k} AS MATERIALIZED (
-  SELECT freq, list_reduce(string_split(sym, chr(31)),
+  SELECT {carry}freq, list_reduce(string_split(sym, chr(31)),
     (acc, x) -> CASE WHEN x = b{k}.r AND (acc = b{k}.l
                       OR ends_with(acc, chr(31) || b{k}.l))
                 THEN acc || x ELSE acc || chr(31) || x END) AS sym
@@ -5005,13 +5005,91 @@ s0 AS MATERIALIZED (
          || chr(31) || '</w>' AS sym
   FROM toks GROUP BY word
 ),"""
-    + ",".join(_bpe_round_cte(k, last=(k == 4)) for k in range(1, 5))
+    + ",".join(_bpe_round_cte(k, emit_sym=(k != 4)) for k in range(1, 5))
     + "\n"
     + "\nUNION ALL\n".join(
         f'SELECT CAST({k - 1} AS INT) AS rank, l AS "left", r AS "right",'
         f' l || r AS merged, c AS pair_count FROM b{k}'
         for k in range(1, 5))
     + "\nORDER BY rank\n")
+
+
+def bpe_encoded_tokens_q(spark, sf_dir):
+    """BPE ENCODE ORACLE (operators/bpe.py:bpe_encode — the tokenizer
+    loop closed: learn merges on a corpus, then tokenize that corpus
+    with them). Learns the same 4 merges as ``bpe_merges`` (oracle-
+    green learning), collects the bounded merge table (≤4 rows — the
+    same driver-row budget as the learn loop itself), and encodes
+    every document with the narrow zero-shuffle per-row fold. Output
+    per doc: encodable word count, post-merge token count (what a
+    packing stage bins on), and an md5 fingerprint of the full encoded
+    symbol stream in word order — so the oracle pins the exact
+    token SEQUENCE, not just counts. DuckDB replays learning through
+    the unrolled round CTEs (carrying the word column so the final
+    vocabulary keeps its word → symbols mapping), then joins each
+    document's word occurrences through that vocabulary."""
+    from n8n_tools_api_spark.operators.bpe import bpe_encode, bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 120).select(
+        did.alias("doc_id"), "text")
+    run = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("run_"), did).alias("doc_id"),
+        F.repeat(F.lit("zzzz zzz zz "), 60).alias("text"))
+    corpus = base.unionByName(run)
+    merge_rows = bpe_learn(corpus, 4).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    return (bpe_encode(corpus, merges)
+            .select("doc_id", "n_words", "n_tokens",
+                    F.md5("encoded").alias("enc_fp"))
+            .orderBy("doc_id"))
+
+
+BPE_ENCODED_SQL = (r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT 'run_' || CAST(doc_id AS VARCHAR), repeat('zzzz zzz zz ', 60)
+  FROM documents WHERE doc_id < 40
+),
+toksd AS (
+  SELECT doc_id, i AS pos, q.w[i] AS word
+  FROM (SELECT doc_id,
+               [x for x in
+                regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
+                if x != ''] AS w
+        FROM corpus) AS q,
+       UNNEST(generate_series(1, len(q.w))) AS t(i)
+  WHERE NOT contains(q.w[i], chr(31))
+),
+s0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         array_to_string([word[i] for i in
+                          generate_series(1, length(word))], chr(31))
+         || chr(31) || '</w>' AS sym
+  FROM toksd GROUP BY word
+),"""
+    + ",".join(_bpe_round_cte(k, emit_sym=True, carry="word, ")
+               for k in range(1, 5))
+    + r""",
+docenc AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS INT) AS n_words,
+         CAST(SUM(len(string_split(v.sym, chr(31)))) AS BIGINT)
+           AS n_tokens,
+         md5(array_to_string(list(v.sym ORDER BY d.pos), ' ')) AS enc_fp
+  FROM toksd d JOIN s4 v USING (word)
+  GROUP BY d.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(e.n_words, 0) AS n_words,
+       CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(e.enc_fp, md5('')) AS enc_fp
+FROM corpus c LEFT JOIN docenc e USING (doc_id)
+ORDER BY doc_id
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -5093,4 +5171,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),
     "shard_manifest": (shard_manifest_q, SHARD_MANIFEST_SQL),
     "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
+    "bpe_encoded_tokens": (bpe_encoded_tokens_q, BPE_ENCODED_SQL),
 }

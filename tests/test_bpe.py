@@ -111,3 +111,76 @@ class TestBpeLearn:
             bpe_learn(df, 0)
         with pytest.raises(ValueError):
             bpe_learn(df, 2, min_count=0)
+
+
+def _py_encode(texts, merges):
+    """Pure-Python twin of bpe_encode's pinned semantics."""
+    out = []
+    for t in texts:
+        ws = [w for w in re.split(r"\s+", (t or "").strip(), flags=re.ASCII)
+              if w and "\x1f" not in w]
+        enc = []
+        for w in ws:
+            syms = list(w) + ["</w>"]
+            for a, b in merges:
+                folded = [syms[0]]
+                for x in syms[1:]:
+                    if folded[-1] == a and x == b:
+                        folded[-1] = a + b
+                    else:
+                        folded.append(x)
+                syms = folded
+            enc.append("\x1f".join(syms))
+        out.append((len(ws),
+                    sum(len(e.split("\x1f")) for e in enc),
+                    " ".join(enc)))
+    return out
+
+
+def _encode(spark, texts, merges, **kw):
+    from n8n_tools_api_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    rows = bpe_encode(df, merges, **kw).collect()
+    by_id = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["encoded"])
+             for r in rows}
+    assert len(by_id) == len(texts)
+    return [by_id[str(i)] for i in range(len(texts))]
+
+
+class TestBpeEncode:
+    def test_hand_computed_runs(self, spark):
+        # merges (z,z) then (zz,zz): zzzz -> [zzzz, </w>], zzz ->
+        # [zz, z, </w>], zz -> [zz, </w>] — greedy left-to-right
+        got = _encode(spark, ["zzzz zzz zz"], [("z", "z"), ("zz", "zz")])
+        assert got == [(3, 7,
+                        "zzzz\x1f</w> zz\x1fz\x1f</w> zz\x1f</w>")]
+
+    def test_learned_merges_reach_final_training_vocab(self, spark):
+        # the Sennrich corpus's first 4 merges are (e,s) (es,t)
+        # (est,</w>) (l,o); training words must encode to the symbol
+        # strings the final training vocabulary holds
+        corpus = ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3]
+        merges = [(a, b) for _, a, b, _, _ in _py_bpe(corpus, 4)]
+        got = _encode(spark, ["newest low lower widest"], merges)
+        assert got == [(4, 16,
+                        "n\x1fe\x1fw\x1fest</w> "
+                        "lo\x1fw\x1f</w> "
+                        "lo\x1fw\x1fe\x1fr\x1f</w> "
+                        "w\x1fi\x1fd\x1fest</w>")]
+
+    def test_matches_pure_python_replay_both_modes(self, spark):
+        texts = [f"alpha beta{i % 7} gamma gamma aaaa aa héllo wörld"
+                 for i in range(12)]
+        texts += ["zzz zz zzzz banana banana anana",
+                  "", None, "   ", "bad\x1fword ok ok"]
+        merges = [(a, b) for _, a, b, _, _ in _py_bpe(texts, 8)]
+        want = _py_encode(texts, merges)
+        assert _encode(spark, texts, merges) == want
+        assert _encode(spark, texts, merges, vocab_join=True) == want
+
+    def test_empty_merge_table_yields_character_tokens(self, spark):
+        got = _encode(spark, ["ab a"], [])
+        assert got == [(2, 5, "a\x1fb\x1f</w> a\x1f</w>")]
