@@ -184,3 +184,14 @@ class TestBpeEncode:
     def test_empty_merge_table_yields_character_tokens(self, spark):
         got = _encode(spark, ["ab a"], [])
         assert got == [(2, 5, "a\x1fb\x1f</w> a\x1f</w>")]
+
+    def test_narrow_mode_plan_has_no_exchange(self, spark):
+        # the default encode shape must ride the scan at 100 TB: one
+        # per-row projection, zero exchanges (same pin as extraction)
+        from n8n_tools_api_spark.operators.bpe import bpe_encode
+
+        df = spark.createDataFrame(
+            [("1", "some words here")], "doc_id string, text string")
+        plan = (bpe_encode(df, [("e", "s"), ("es", "t")])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, plan[:2000]
