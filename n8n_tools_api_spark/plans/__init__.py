@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "shard_manifest",
     "bpe_merges",
     "bpe_encoded_tokens",
+    "bpe_pack_manifest",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -59,11 +60,14 @@ _DRIVER_PRIORITY = [
 # (extraction, curation, dedup, media, streaming, lineage) stay inside
 # the window.
 _DRIVER_TAIL = [
-    # displaced by the round-5 bpe_encoded_tokens addition: a generic
-    # events sessionization, green in r03+r04 and byte-stable — moved
-    # here explicitly so the media_* product-flow queries stay inside
-    # the 50-row window instead of falling out by insertion order
+    # displaced by the round-5 bpe_encoded_tokens / bpe_pack_manifest
+    # additions: a generic events sessionization and the brute-force
+    # cosine anchor, both green since r03/r01 and byte-stable (the ANN
+    # family keeps its pytest recall-floor evidence) — moved here
+    # explicitly so the media_* product-flow queries stay inside the
+    # 50-row window instead of falling out by insertion order
     "event_sessions_full",
+    "cosine_topk",
     # displaced by the round-5 line_dedup / shard_manifest / bpe_merges
     # additions: multi-round-green single-table per-row stat rollups —
     # the least informative rows to re-check (product-flow queries like

@@ -5046,8 +5046,11 @@ def bpe_encoded_tokens_q(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-BPE_ENCODED_SQL = (r"""
-WITH corpus AS (
+# shared replay prefix for the encode-side BPE oracles: the planted
+# corpus, per-doc word occurrences, the initial vocabulary, and the 4
+# unrolled learning rounds CARRYING the word column so the final s4
+# vocabulary keeps its word → symbols mapping
+_BPE_ENC_CTES = (r"""corpus AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
   FROM documents WHERE doc_id < 120
   UNION ALL
@@ -5072,7 +5075,10 @@ s0 AS MATERIALIZED (
   FROM toksd GROUP BY word
 ),"""
     + ",".join(_bpe_round_cte(k, emit_sym=True, carry="word, ")
-               for k in range(1, 5))
+               for k in range(1, 5)))
+
+
+BPE_ENCODED_SQL = ("WITH " + _BPE_ENC_CTES
     + r""",
 docenc AS (
   SELECT d.doc_id,
@@ -5088,6 +5094,72 @@ SELECT c.doc_id,
        CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
        COALESCE(e.enc_fp, md5('')) AS enc_fp
 FROM corpus c LEFT JOIN docenc e USING (doc_id)
+ORDER BY doc_id
+""")
+
+
+def bpe_pack_manifest_q(spark, sf_dir):
+    """TOKENIZE → PACK COMPOSITION ORACLE: the pipeline's last two
+    stages chained the way a training run consumes them — learn BPE
+    merges on the corpus (``bpe_merges``, oracle-green), encode every
+    document with them (``bpe_encode``), then hand the REAL post-merge
+    token counts to the concat-and-chunk placement manifest
+    (operators/packing.py:token_pack via its ``count_col`` seam, which
+    exists exactly for a tokenizer stage to fill; 64-token blocks so
+    most documents span several). A green row pins the full
+    composition: any drift in learning, the encode fold, or the
+    prefix-sum layout shifts every downstream offset. DuckDB chains
+    the shared learning-replay CTEs into the pack arithmetic in one
+    query."""
+    from n8n_tools_api_spark.operators.bpe import bpe_encode, bpe_learn
+    from n8n_tools_api_spark.operators.packing import token_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = docs.where(F.col("doc_id") < 120).select(
+        did.alias("doc_id"), "text")
+    run = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("run_"), did).alias("doc_id"),
+        F.repeat(F.lit("zzzz zzz zz "), 60).alias("text"))
+    corpus = base.unionByName(run)
+    merge_rows = bpe_learn(corpus, 4).orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    enc = bpe_encode(corpus, merges).select("doc_id", "n_tokens")
+    return (token_pack(enc, block_size=64, count_col="n_tokens")
+            .orderBy("doc_id"))
+
+
+BPE_PACK_SQL = ("WITH " + _BPE_ENC_CTES
+    + r""",
+counted AS (
+  SELECT c.doc_id, CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM corpus c LEFT JOIN (
+    SELECT d.doc_id,
+           SUM(len(string_split(v.sym, chr(31)))) AS n_tokens
+    FROM toksd d JOIN s4 v USING (word)
+    GROUP BY d.doc_id) e USING (doc_id)
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens + 1) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+           - (n_tokens + 1) AS start_offset
+  FROM counted
+),
+blocks AS (
+  SELECT doc_id, n_tokens, start_offset,
+         CAST(floor(start_offset / 64) AS BIGINT) AS first_block,
+         CAST(floor((CASE WHEN n_tokens > 0
+                          THEN start_offset + n_tokens - 1
+                          ELSE start_offset END) / 64) AS BIGINT)
+           AS last_block
+  FROM placed
+)
+SELECT doc_id, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       first_block, last_block,
+       CAST(last_block - first_block + 1 AS BIGINT) AS n_blocks
+FROM blocks
 ORDER BY doc_id
 """)
 
@@ -5172,4 +5244,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "shard_manifest": (shard_manifest_q, SHARD_MANIFEST_SQL),
     "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
     "bpe_encoded_tokens": (bpe_encoded_tokens_q, BPE_ENCODED_SQL),
+    "bpe_pack_manifest": (bpe_pack_manifest_q, BPE_PACK_SQL),
 }
