@@ -100,6 +100,7 @@ def main() -> None:
         "exact_substr_dedup", "token_pack_manifest", "dsir_selection",
         "lm_perplexity_buckets", "ccnet_keep_list",
         "line_dedup", "shard_manifest", "bpe_merges",
+        "bpe_encoded_tokens", "bpe_pack_manifest", "dataset_card",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())

@@ -330,3 +330,55 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
         has_brace.alias("has_brace"),
         (~has_lorem & ~has_brace & (n_sentences >= 3)).alias("c4_keep"),
     )
+
+
+def dataset_card(docs: DataFrame, short_doc_tokens: int = 32,
+                 text_col: str = "text",
+                 dims: tuple[str, ...] = ("lang", "source")) -> DataFrame:
+    """Dataset-card rollup — the PUBLISHING stage of a training-data
+    pipeline (the statistics table a released corpus ships with, the
+    Dolma / FineWeb dataset-card convention): per dimension combination
+    plus rollup subtotals and a grand total, exact integer corpus
+    statistics.
+
+    Pinned semantics (replayed exactly by the ``dataset_card`` oracle
+    in plans/catalog.py):
+
+    * token counts are the repo-standard whitespace split (NULL text →
+      zero tokens); char counts are ``length(coalesce(text, ''))``;
+    * ``n_empty`` counts zero-token documents; ``short_docs`` counts
+      documents under ``short_doc_tokens`` tokens (empty included);
+    * rollup levels are labelled with the literal ``'ALL'`` via
+      ``grouping()`` — NOT by coalescing nulls, so a genuine NULL
+      dimension value can never masquerade as a subtotal;
+    * every sum/count is BIGINT (exact at any corpus size; ANSI mode
+      raises on overflow rather than wrapping).
+
+    Scale shape: one per-row projection (rides the scan) into one
+    map-side-combined rollup on a bounded key space (|langs| ×
+    |sources| plus subtotal rows) — the reduce side is tiny regardless
+    of corpus size; nothing wide carries text.
+    """
+    from pyspark.sql import functions as F
+
+    from n8n_tools_api_spark.operators.packing import whitespace_token_count
+
+    base = docs.select(
+        *dims,
+        whitespace_token_count(F.col(text_col)).alias("n_tok"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint")
+        .alias("n_ch"))
+    agged = base.rollup(*dims).agg(
+        *[F.grouping(d).alias(f"_g_{d}") for d in dims],
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_tok") == 0).cast("int")).cast("bigint")
+        .alias("n_empty"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_ch").cast("bigint").alias("total_chars"),
+        F.sum((F.col("n_tok") < short_doc_tokens).cast("int"))
+        .cast("bigint").alias("short_docs"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"))
+    labels = [F.when(F.col(f"_g_{d}") == 1, F.lit("ALL"))
+              .otherwise(F.col(d)).alias(d) for d in dims]
+    return agged.select(*labels, "n_docs", "n_empty", "total_tokens",
+                        "total_chars", "short_docs", "max_tokens")

@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "bpe_merges",
     "bpe_encoded_tokens",
     "bpe_pack_manifest",
+    "dataset_card",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -68,6 +69,10 @@ _DRIVER_TAIL = [
     # 50-row window instead of falling out by insertion order
     "event_sessions_full",
     "cosine_topk",
+    # displaced by the round-5 dataset_card addition: green r01-r04 and
+    # byte-stable; the exact-dup disposition stays driver-exercised
+    # through curation_keep_list's exact_dup rows
+    "exact_dedup_stats",
     # displaced by the round-5 line_dedup / shard_manifest / bpe_merges
     # additions: multi-round-green single-table per-row stat rollups —
     # the least informative rows to re-check (product-flow queries like

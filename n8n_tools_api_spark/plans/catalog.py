@@ -5164,6 +5164,58 @@ ORDER BY doc_id
 """)
 
 
+def dataset_card_q(spark, sf_dir):
+    """DATASET-CARD ORACLE (operators/textstats.py:dataset_card — the
+    statistics table a released corpus ships with, the Dolma/FineWeb
+    convention): per (lang, source) exact integer corpus stats with
+    rollup subtotals and a grand total, levels labelled 'ALL' via
+    grouping() so a genuine NULL dimension can never masquerade as a
+    subtotal. A planted NULL-text and empty-text doc exercise the
+    n_empty / short_docs branches. DuckDB replays the whitespace token
+    count, the ROLLUP lattice, and the GROUPING() labels exactly."""
+    from n8n_tools_api_spark.operators.textstats import dataset_card
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source", "text")
+    planted = spark.range(1).select(
+        F.lit("xx").alias("lang"), F.lit("planted").alias("source"),
+        F.lit("").alias("text")
+    ).unionByName(spark.range(1).select(
+        F.lit("xx").alias("lang"), F.lit("planted").alias("source"),
+        F.lit(None).cast("string").alias("text")))
+    return (dataset_card(docs.unionByName(planted))
+            .orderBy("lang", "source"))
+
+
+DATASET_CARD_SQL = r"""
+WITH corpus AS (
+  SELECT lang, source, text FROM documents
+  UNION ALL SELECT 'xx', 'planted', ''
+  UNION ALL SELECT 'xx', 'planted', NULL
+),
+base AS (
+  SELECT lang, source,
+         CAST(len([w for w in
+                   regexp_split_to_array(trim(COALESCE(text, '')), '\s+')
+                   if w <> '']) AS BIGINT) AS n_tok,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS n_ch
+  FROM corpus
+)
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_ch) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN n_tok < 32 THEN 1 ELSE 0 END) AS BIGINT)
+         AS short_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+FROM base
+GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -5245,4 +5297,5 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
     "bpe_encoded_tokens": (bpe_encoded_tokens_q, BPE_ENCODED_SQL),
     "bpe_pack_manifest": (bpe_pack_manifest_q, BPE_PACK_SQL),
+    "dataset_card": (dataset_card_q, DATASET_CARD_SQL),
 }

@@ -354,3 +354,53 @@ class TestLineDedup:
         a = sorted(map(tuple, line_dedup(df.repartition(2)).collect()))
         b = sorted(map(tuple, line_dedup(df.repartition(13)).collect()))
         assert a == b
+
+
+class TestDatasetCard:
+    def _df(self, spark):
+        rows = [
+            ("en", "web", "one two three"),
+            ("en", "web", " ".join(f"w{i}" for i in range(40))),
+            ("en", "book", ""),
+            ("de", "web", None),
+            ("de", "web", "ein zwei"),
+        ]
+        return spark.createDataFrame(rows, "lang string, source string, "
+                                           "text string")
+
+    def test_hand_computed_rollup(self, spark):
+        from n8n_tools_api_spark.operators.textstats import dataset_card
+
+        got = {(r["lang"], r["source"]):
+               (r["n_docs"], r["n_empty"], r["total_tokens"],
+                r["short_docs"], r["max_tokens"])
+               for r in dataset_card(self._df(spark)).collect()}
+        # 2 langs x 2 sources (de only web) + 2 lang subtotals + total
+        assert len(got) == 3 + 2 + 1
+        assert got[("en", "web")] == (2, 0, 43, 1, 40)
+        assert got[("en", "book")] == (1, 1, 0, 1, 0)
+        assert got[("de", "web")] == (2, 1, 2, 2, 2)
+        assert got[("en", "ALL")] == (3, 1, 43, 2, 40)
+        assert got[("de", "ALL")] == (2, 1, 2, 2, 2)
+        assert got[("ALL", "ALL")] == (5, 2, 45, 4, 40)
+
+    def test_null_dim_never_masquerades_as_subtotal(self, spark):
+        from n8n_tools_api_spark.operators.textstats import dataset_card
+
+        df = spark.createDataFrame(
+            [(None, "web", "a b"), ("en", "web", "c")],
+            "lang string, source string, text string")
+        rows = dataset_card(df).collect()
+        langs = {r["lang"] for r in rows}
+        # the genuine NULL group stays NULL; only rollup rows say ALL
+        assert None in langs and "ALL" in langs
+        by = {(r["lang"], r["source"]): r["n_docs"] for r in rows}
+        assert by[(None, "web")] == 1 and by[("ALL", "ALL")] == 2
+
+    def test_layout_invariance(self, spark):
+        from n8n_tools_api_spark.operators.textstats import dataset_card
+
+        df = self._df(spark)
+        a = dataset_card(df.repartition(1)).orderBy("lang", "source").collect()
+        b = dataset_card(df.repartition(7)).orderBy("lang", "source").collect()
+        assert list(map(tuple, a)) == list(map(tuple, b))
