@@ -481,3 +481,112 @@ def web_curation_keep_list(docs: DataFrame, blocked_domains: DataFrame,
             .unionByName(contaminated)
             .unionByName(sampled_out)
             .unionByName(kept))
+
+
+TRACKING_PARAM_NAMES = ["fbclid", "gclid", "mc_cid", "mc_eid", "msclkid",
+                        "ref"]
+
+
+def canonical_url(url, id_when_unparseable: bool = True) -> "F.Column":
+    """Canonical form of a URL column — the normalization behind
+    URL-level dedup, the FIRST dedup stage of the public web-curation
+    canon (RefinedWeb, Penedo et al. 2023 §3.2 deduplicates fetched
+    URLs before any text processing; CCNet and FineWeb keep the same
+    stage so recrawls and tracking-decorated links don't multiply a
+    page).  Every rule is engine-portable (Java regex and RE2 agree on
+    these patterns; ASCII assumed) and replayed byte-exactly by the
+    ``url_canonical_dedup`` oracle:
+
+    * NULL → ``''``;
+    * a URL *parses* iff it matches ``scheme://authority`` with a
+      non-empty authority (``^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+``);
+      non-parsing strings canonicalize to THEMSELVES (identity), so
+      junk collapses only when byte-equal;
+    * scheme: lowercased;
+    * host: authority lowercased, userinfo (``user:pw@``) stripped,
+      one leading ``www.`` stripped, the scheme's DEFAULT port
+      stripped (``:80`` iff http, ``:443`` iff https — any other
+      port is identity-bearing and kept);
+    * path: case PRESERVED, trailing ``/``-runs stripped (so
+      ``/a/b/`` ≡ ``/a/b`` and a bare ``/`` ≡ empty);
+    * query: split on ``&``; empty params dropped; tracking params
+      dropped (name starts with ``utm_`` or name ∈
+      ``TRACKING_PARAM_NAMES``; the name is the text before the first
+      ``=``); survivors SORTED ascending (full ``k=v`` string) and
+      re-joined — param order never distinguishes pages;
+    * fragment (``#…``): dropped.
+
+    Scale shape: pure per-row string expressions — zero shuffle, rides
+    the scan at 100 TB.
+    """
+    u = F.coalesce(url, F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(F.lower(auth), "^[^@]*@", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        "/+$", "")
+    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    name = lambda p: F.regexp_replace(p, "=.*$", "")  # noqa: E731
+    tracked = F.array(*[F.lit(t) for t in TRACKING_PARAM_NAMES])
+    params = F.array_sort(F.filter(
+        F.split(qraw, "&"),
+        lambda p: (p != "")
+        & (F.substring(name(p), 1, 4) != "utm_")
+        & ~F.array_contains(tracked, name(p)),
+    ))
+    q = F.array_join(params, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(auth != "", canon).otherwise(u)
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup over :func:`canonical_url` keys — emits a
+    full disposition frame (one row per input doc)::
+
+        (doc_id, url, canonical_url,
+         status 'kept' | 'url_dup', first_doc, group_size)
+
+    ``first_doc`` is the ascending-``id_col`` minimum of the canonical
+    group (the kept representative — a crawler's "first fetch wins"),
+    ``group_size`` the group's total count.  All-NULL / unparseable
+    URLs keep their raw string as the key, so only byte-equal junk
+    collapses; NULLs canonicalize to ``''`` and form one pseudo-group
+    (documented, like :func:`canonical_host`'s ``''`` pseudo-host).
+
+    Scale shape: canonicalization rides the scan; the ONLY exchange is
+    the window over ``canonical_url`` carrying slim (id, url-length)
+    rows — at 10^12 docs this is the cheapest possible dedup, which is
+    exactly why the canon runs it before any text stage.  Canonical
+    keys are high-cardinality and near-uniform (hosts × paths), so no
+    skew handling is needed beyond AQE defaults; the ``''``
+    pseudo-group is the one engineered hot key, and a corpus with many
+    NULL URLs should pre-filter them (they carry no fetch identity).
+    """
+    # unordered-frame window: min/count need no in-partition sort
+    w = Window.partitionBy("canonical_url")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+    )
+    return base.select(
+        "doc_id", "url", "canonical_url",
+        F.min("doc_id").over(w).alias("first_doc"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn(
+        "status",
+        F.when(F.col("doc_id") == F.col("first_doc"), F.lit("kept"))
+        .otherwise(F.lit("url_dup")),
+    ).select("doc_id", "url", "canonical_url", "status", "first_doc",
+             "group_size")

@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "bpe_encoded_tokens",
     "bpe_pack_manifest",
     "dataset_card",
+    "url_canonical_dedup",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -61,6 +62,10 @@ _DRIVER_PRIORITY = [
 # (extraction, curation, dedup, media, streaming, lineage) stay inside
 # the window.
 _DRIVER_TAIL = [
+    # displaced by the round-5 url_canonical_dedup addition: a
+    # multi-round-green per-row stat rollup whose language semantics
+    # stay driver-exercised through language_id and lang_stats
+    "doc_language_scores",
     # displaced by the round-5 bpe_encoded_tokens / bpe_pack_manifest
     # additions: a generic events sessionization and the brute-force
     # cosine anchor, both green since r03/r01 and byte-stable (the ANN

@@ -5216,6 +5216,159 @@ ORDER BY lang, source
 """
 
 
+def url_canonical_dedup_q(spark, sf_dir):
+    """URL-CANONICAL-DEDUP ORACLE: the first dedup stage of the public
+    web-curation canon (RefinedWeb §3.2 URL dedup; CCNet/FineWeb keep
+    the same stage) over URLs BUILT IN-QUERY from doc_id — ten
+    spellings per family g = doc_id DIV 10, shape = doc_id % 10:
+
+      0  https://ExampleG.COM:443/pG/sub/?utm_source=x&b=2&a=1#frag
+         → collapses (case fold, :443 strip, trailing /, utm_ drop,
+           param sort, fragment drop)
+      1  https://www.exampleG.com/pG/sub?a=1&b=2 → collapses (www)
+      2  …?b=2&a=1&fbclid=zz                     → collapses (tracking
+         param + order)
+      5  https://u:pw@exampleG.com/pG/sub?a=1&b=2#x → collapses
+         (userinfo strip)
+      8  HTTPS://EXAMPLEG.COM/pG/sub/?b=2&a=1&utm_medium=m& →
+         collapses (upper scheme+host, empty param)
+      3  :8080 port kept → unique; 4 http://…:80 → :80 stripped but
+         scheme differs → unique; 9 extra c=3 param → unique;
+      6  'not a url i' → identity canonical (kept, group of 1)
+      7  NULL → '' pseudo-group (ALL shape-7 docs collapse into one
+         group — the documented NULL pseudo-key)
+
+    So each family yields exactly one 5-way dup group whose kept
+    representative is the STRING-ascending min doc_id. DuckDB replays
+    every canonicalization rule closed-form (same regexes — Java regex
+    and RE2 agree on these patterns, ASCII input pinned)."""
+    from n8n_tools_api_spark.operators.curation import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    i = F.col("doc_id").cast("string")
+    g = F.expr("doc_id div 10").cast("string")
+    shape = (F.col("doc_id") % 10).cast("int")
+    url = (
+        F.when(shape == 0, F.concat(
+            F.lit("https://Example"), g, F.lit(".COM:443/p"), g,
+            F.lit("/sub/?utm_source=x&b=2&a=1#frag")))
+        .when(shape == 1, F.concat(
+            F.lit("https://www.example"), g, F.lit(".com/p"), g,
+            F.lit("/sub?a=1&b=2")))
+        .when(shape == 2, F.concat(
+            F.lit("https://example"), g, F.lit(".com/p"), g,
+            F.lit("/sub?b=2&a=1&fbclid=zz")))
+        .when(shape == 3, F.concat(
+            F.lit("https://example"), g, F.lit(".com:8080/p"), g,
+            F.lit("/sub?a=1&b=2")))
+        .when(shape == 4, F.concat(
+            F.lit("http://example"), g, F.lit(".com:80/p"), g,
+            F.lit("/sub?a=1&b=2")))
+        .when(shape == 5, F.concat(
+            F.lit("https://u:pw@example"), g, F.lit(".com/p"), g,
+            F.lit("/sub?a=1&b=2#x")))
+        .when(shape == 6, F.concat(F.lit("not a url "), i))
+        .when(shape == 7, F.lit(None).cast("string"))
+        .when(shape == 8, F.concat(
+            F.lit("HTTPS://EXAMPLE"), g, F.lit(".COM/p"), g,
+            F.lit("/sub/?b=2&a=1&utm_medium=m&")))
+        .otherwise(F.concat(
+            F.lit("https://example"), g, F.lit(".com/p"), g,
+            F.lit("/sub?a=1&b=2&c=3")))
+    )
+    corpus = docs.select(i.alias("doc_id"), url.alias("url"))
+    return url_dedup(corpus).orderBy("doc_id")
+
+
+# Full closed-form replay of every canonicalization rule: scheme/host
+# case fold, userinfo/www/default-port strip, trailing-slash strip,
+# tracking-param drop, param sort, fragment drop, identity fallback.
+URL_CANONICAL_SQL = r"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CASE CAST(doc_id % 10 AS INT)
+      WHEN 0 THEN 'https://Example' || g || '.COM:443/p' || g
+                  || '/sub/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'https://www.example' || g || '.com/p' || g
+                  || '/sub?a=1&b=2'
+      WHEN 2 THEN 'https://example' || g || '.com/p' || g
+                  || '/sub?b=2&a=1&fbclid=zz'
+      WHEN 3 THEN 'https://example' || g || '.com:8080/p' || g
+                  || '/sub?a=1&b=2'
+      WHEN 4 THEN 'http://example' || g || '.com:80/p' || g
+                  || '/sub?a=1&b=2'
+      WHEN 5 THEN 'https://u:pw@example' || g || '.com/p' || g
+                  || '/sub?a=1&b=2#x'
+      WHEN 6 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      WHEN 7 THEN NULL
+      WHEN 8 THEN 'HTTPS://EXAMPLE' || g || '.COM/p' || g
+                  || '/sub/?b=2&a=1&utm_medium=m&'
+      ELSE 'https://example' || g || '.com/p' || g || '/sub?a=1&b=2&c=3'
+    END AS url
+  FROM (SELECT doc_id, CAST(doc_id // 10 AS VARCHAR) AS g
+        FROM documents WHERE doc_id < 400)
+),
+s1 AS (
+  SELECT doc_id, url, COALESCE(url, '') AS u FROM src
+),
+s2 AS (
+  SELECT doc_id, url, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+           AS auth,
+         regexp_replace(
+           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           '/+$', '') AS path,
+         regexp_extract(u, '\?([^#]*)', 1) AS qraw
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, url, u, scheme, auth, path, qraw,
+         CASE WHEN scheme = 'http' THEN
+                regexp_replace(h0, ':80$', '')
+              WHEN scheme = 'https' THEN
+                regexp_replace(h0, ':443$', '')
+              ELSE h0 END AS host
+  FROM (SELECT *,
+          regexp_replace(
+            regexp_replace(lower(auth), '^[^@]*@', ''),
+            '^www\.', '') AS h0
+        FROM s2)
+),
+s4 AS (
+  SELECT doc_id, url, u, scheme, auth, path, host,
+         array_to_string(list_sort(
+           [p for p in string_split(qraw, '&')
+            if p <> ''
+               and substr(regexp_replace(p, '=.*$', ''), 1, 4) <> 'utm_'
+               and not list_contains(
+                     ['fbclid', 'gclid', 'mc_cid', 'mc_eid', 'msclkid',
+                      'ref'],
+                     regexp_replace(p, '=.*$', ''))]), '&') AS q
+  FROM s3
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN auth <> '' THEN
+                scheme || '://' || host || path
+                || CASE WHEN q = '' THEN '' ELSE '?' || q END
+              ELSE u END AS canonical_url
+  FROM s4
+)
+SELECT doc_id, url, canonical_url,
+       CASE WHEN doc_id = first_doc THEN 'kept' ELSE 'url_dup' END AS status,
+       first_doc, group_size
+FROM (
+  SELECT doc_id, url, canonical_url,
+         min(doc_id) OVER (PARTITION BY canonical_url) AS first_doc,
+         CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+           AS group_size
+  FROM canon)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -5285,6 +5438,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
                                   STREAM_CURATION_AGREEMENT_SQL),
     "benchmark_decontam": (benchmark_decontam_q, BENCH_DECONTAM_SQL),
     "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
+    "url_canonical_dedup": (url_canonical_dedup_q, URL_CANONICAL_SQL),
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
