@@ -964,3 +964,59 @@ def line_dedup(docs: DataFrame, min_doc_freq: int = 2,
         F.size("ls").cast("int").alias("n_lines"),
         (F.size("ls") - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+def strip_repeated_lines(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """WITHIN-document repeated-line removal — the intra-doc
+    line-wise correction of the public curation canon (RefinedWeb
+    §3.2/G removes duplicated lines; MassiveText/Gopher measure the
+    duplicate-line fraction and this operator is the cleaning
+    counterpart of that gate): every line keeps only its FIRST
+    occurrence inside the document, later trim-equal repeats are
+    dropped.  Complements :func:`line_dedup` exactly — that one
+    removes lines shared ACROSS documents (boilerplate, no survivor),
+    this one dedups repeats INSIDE a document (first occurrence
+    survives); a paginated article whose every page repeats the same
+    header keeps one copy here.
+
+    Pinned semantics (replayed exactly by the ``repeated_line_strip``
+    oracle):
+
+    * lines are ``split(text, '\\n')`` of the null-coalesced text
+      (empty/NULL doc → one empty line, untouched);
+    * a line's match key is its TRIMMED text, case-sensitive;
+      whitespace-only lines always survive (structure, not content);
+    * line i survives iff its key is blank OR the FIRST index of its
+      key among the doc's trimmed keys is i (Spark ``array_position``
+      is 1-based over a BOUND key-array column — higher-order lambdas
+      get no common-subexpression elimination, so the key array is
+      projected first, operators/dsir.py has the same note);
+    * rebuild joins the ORIGINAL surviving lines with ``'\\n'``.
+
+    Output: (doc_id, clean_text, n_lines, n_removed), the same shape
+    as :func:`line_dedup` so the two stages compose.
+
+    Scale shape: pure per-row higher-order projections — ZERO shuffle,
+    rides the scan at 100 TB.  Per-row cost is O(L²) in the doc's line
+    count (an ``array_position`` scan per line); web documents are
+    hundreds of lines, and even a pathological 10⁴-line doc costs ~10⁸
+    cheap JVM string compares on ONE row of ONE task — no wide stage
+    ever sees it.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lined = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(t, "\n", -1).alias("ls"),
+    ).withColumn("ks", F.transform("ls", lambda x: F.trim(x)))
+    kept = F.filter(
+        "ls",
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position("ks", F.trim(x)) == i + F.lit(1)),
+    )
+    return lined.select(
+        "doc_id",
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size("ls").cast("int").alias("n_lines"),
+        (F.size("ls") - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "bpe_pack_manifest",
     "dataset_card",
     "url_canonical_dedup",
+    "repeated_line_strip",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -66,6 +67,10 @@ _DRIVER_TAIL = [
     # multi-round-green per-row stat rollup whose language semantics
     # stay driver-exercised through language_id and lang_stats
     "doc_language_scores",
+    # displaced by the round-5 repeated_line_strip addition: the A2
+    # preview arithmetic stays driver-exercised through pdf_batch_info
+    # (inside the window as a priority entry)
+    "processing_info_rollup",
     # displaced by the round-5 bpe_encoded_tokens / bpe_pack_manifest
     # additions: a generic events sessionization and the brute-force
     # cosine anchor, both green since r03/r01 and byte-stable (the ANN

@@ -4934,6 +4934,160 @@ ORDER BY mode, doc_id
 """
 
 
+def repeated_line_strip_q(spark, sf_dir):
+    """WITHIN-DOC REPEATED-LINE STRIP ORACLE
+    (operators/dedup.py:strip_repeated_lines — RefinedWeb §3.2/G
+    intra-document line dedup, the cleaning counterpart of Gopher's
+    duplicate-line-fraction gate) over documents<150 (single-line
+    controls) plus planted branches:
+
+    * 60 ``lin_`` docs line-ified every 6 words — realistic multi-line
+      docs where any naturally repeated 6-word group dedups;
+    * 30 ``pag_`` paginated docs repeating a page header 3× (keeps the
+      first copy — the contrast with line_dedup, which would need the
+      header shared across ≥2 DOCS);
+    * 15 ``rep_`` docs repeating their own unique line — REMOVED here,
+      KEPT by line_dedup (the two operators' dividing line, pinned);
+    * 12 ``ws_`` docs whose repeats differ only in surrounding
+      whitespace (trim-key rule; the first ORIGINAL spelling is what
+      survives);
+    * 10 ``blk_`` docs with repeated whitespace-only lines (structure,
+      never removed);
+    * 8 ``nul_`` NULL-text rows (one empty line, untouched).
+
+    DuckDB replays the first-occurrence filter closed-form (1-based
+    ``list_position`` = 1-based lambda index there, 0-based lambda
+    index + 1 in Spark — the off-by-one is pinned by this oracle)."""
+    from n8n_tools_api_spark.operators.dedup import strip_repeated_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 8).cast("string")
+    base = docs.where(F.col("doc_id") < 150).select(
+        did.alias("doc_id"), "text")
+    ws_arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: w != "")
+    lin = (
+        docs.where(F.col("doc_id") < 60)
+        .select(F.concat(F.lit("lin_"), did).alias("doc_id"),
+                ws_arr.alias("ws"))
+        .withColumn("ng", F.greatest(
+            F.floor((F.size("ws") + F.lit(5)) / F.lit(6)).cast("int"),
+            F.lit(1)))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("ng") - 1),
+                    lambda j: F.array_join(
+                        F.slice("ws", j * F.lit(6) + F.lit(1), F.lit(6)),
+                        " ")),
+                "\n").alias("text"))
+    )
+    pag = docs.where(F.col("doc_id") < 30).select(
+        F.concat(F.lit("pag_"), did).alias("doc_id"),
+        F.concat(F.lit("Page header "), g,
+                 F.lit("\nBody one "), did,
+                 F.lit("\nPage header "), g,
+                 F.lit("\nBody two "), did,
+                 F.lit("\nPage header "), g).alias("text"))
+    rep = docs.where(F.col("doc_id") < 15).select(
+        F.concat(F.lit("rep_"), did).alias("doc_id"),
+        F.concat(F.lit("Self line "), did,
+                 F.lit(" repeated\nSelf line "), did,
+                 F.lit(" repeated\nTail line "), did).alias("text"))
+    ws = docs.where(F.col("doc_id") < 12).select(
+        F.concat(F.lit("ws_"), did).alias("doc_id"),
+        F.concat(F.lit("A shared line "), did,
+                 F.lit("\n  A shared line "), did,
+                 F.lit("  \nA shared line "), did,
+                 F.lit("\nTail "), did).alias("text"))
+    blk = docs.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("blk_"), did).alias("doc_id"),
+        F.concat(F.lit("   \nReal "), did, F.lit("\n   \n")).alias("text"))
+    nul = docs.where(F.col("doc_id") < 8).select(
+        F.concat(F.lit("nul_"), did).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"))
+    corpus = (base.unionByName(lin).unionByName(pag).unionByName(rep)
+              .unionByName(ws).unionByName(blk).unionByName(nul))
+    out = strip_repeated_lines(corpus)
+    return out.select(
+        "doc_id", "n_lines", "n_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+    ).orderBy("doc_id")
+
+
+REPEATED_LINE_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT 'lin_' || CAST(doc_id AS VARCHAR),
+         array_to_string(
+           [array_to_string(ws[6 * j + 1 : 6 * j + 6], ' ')
+            for j in generate_series(
+              0, greatest(CAST((len(ws) + 5) // 6 AS INT), 1) - 1)],
+           chr(10))
+  FROM (SELECT doc_id,
+               [w for w in string_split(COALESCE(text, ''), ' ')
+                if w <> ''] AS ws
+        FROM documents WHERE doc_id < 60)
+  UNION ALL
+  SELECT 'pag_' || CAST(doc_id AS VARCHAR),
+         'Page header ' || CAST(doc_id % 8 AS VARCHAR) || chr(10)
+         || 'Body one ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'Page header ' || CAST(doc_id % 8 AS VARCHAR) || chr(10)
+         || 'Body two ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'Page header ' || CAST(doc_id % 8 AS VARCHAR)
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT 'rep_' || CAST(doc_id AS VARCHAR),
+         'Self line ' || CAST(doc_id AS VARCHAR) || ' repeated' || chr(10)
+         || 'Self line ' || CAST(doc_id AS VARCHAR) || ' repeated' || chr(10)
+         || 'Tail line ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT 'ws_' || CAST(doc_id AS VARCHAR),
+         'A shared line ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || '  A shared line ' || CAST(doc_id AS VARCHAR) || '  ' || chr(10)
+         || 'A shared line ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'Tail ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 12
+  UNION ALL
+  SELECT 'blk_' || CAST(doc_id AS VARCHAR),
+         '   ' || chr(10) || 'Real ' || CAST(doc_id AS VARCHAR)
+         || chr(10) || '   ' || chr(10)
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT 'nul_' || CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM documents WHERE doc_id < 8
+),
+lined AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM corpus
+),
+keyed AS (
+  SELECT doc_id, ls, [trim(x) for x in ls] AS ks FROM lined
+),
+stripped AS (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> trim(x) = ''
+                                   OR list_position(ks, trim(x)) = i)
+           AS kept
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(ls) - len(kept) AS INT) AS n_removed,
+       md5(array_to_string(kept, chr(10))) AS clean_md5,
+       CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars
+FROM stripped
+ORDER BY doc_id
+"""
+
+
 def bpe_merges_q(spark, sf_dir):
     """BPE MERGE-LEARNING ORACLE (Sennrich et al. 2016 subword units,
     operators/bpe.py:bpe_learn) — the first 4 learned merges over
@@ -5447,6 +5601,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),
+    "repeated_line_strip": (repeated_line_strip_q, REPEATED_LINE_SQL),
     "shard_manifest": (shard_manifest_q, SHARD_MANIFEST_SQL),
     "bpe_merges": (bpe_merges_q, BPE_MERGES_SQL),
     "bpe_encoded_tokens": (bpe_encoded_tokens_q, BPE_ENCODED_SQL),

@@ -2,6 +2,8 @@
 hand-computed fractions + gate behavior. The full DuckDB replay is the
 gopher_repetition oracle (test_queries_oracle.py)."""
 
+from pyspark.sql import functions as F
+
 from n8n_tools_api_spark.operators.textstats import gopher_repetition
 
 
@@ -404,3 +406,67 @@ class TestDatasetCard:
         a = dataset_card(df.repartition(1)).orderBy("lang", "source").collect()
         b = dataset_card(df.repartition(7)).orderBy("lang", "source").collect()
         assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+class TestStripRepeatedLines:
+    """Within-doc repeated-line removal
+    (operators/dedup.py:strip_repeated_lines)."""
+
+    def _run(self, spark, rows):
+        from n8n_tools_api_spark.operators.dedup import strip_repeated_lines
+
+        return {r["doc_id"]: r for r in strip_repeated_lines(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()}
+
+    def test_first_occurrence_survives(self, spark):
+        out = self._run(spark, [("a", "h\nbody one\nh\nbody two\nh")])
+        assert out["a"].clean_text == "h\nbody one\nbody two"
+        assert out["a"].n_lines == 5 and out["a"].n_removed == 2
+
+    def test_trim_key_keeps_original_spelling(self, spark):
+        out = self._run(spark, [("a", "x y\n  x y  \nx y\ntail")])
+        assert out["a"].clean_text == "x y\ntail"
+        assert out["a"].n_removed == 2
+
+    def test_blank_and_null_untouched(self, spark):
+        out = self._run(spark, [("a", "   \np\n   \n"), ("b", None)])
+        assert out["a"].clean_text == "   \np\n   \n" and \
+            out["a"].n_removed == 0
+        assert out["b"].clean_text == "" and out["b"].n_lines == 1
+
+    def test_own_unique_line_contrast_with_line_dedup(self, spark):
+        """The dividing line between the two operators: an in-doc
+        repeat is REMOVED here but KEPT by cross-doc line_dedup."""
+        from n8n_tools_api_spark.operators.dedup import line_dedup
+
+        rows = [("a", "self\nself\ntail")]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        from n8n_tools_api_spark.operators.dedup import strip_repeated_lines
+        intra = strip_repeated_lines(df).collect()[0]
+        cross = line_dedup(df).collect()[0]
+        assert intra.clean_text == "self\ntail"
+        assert cross.clean_text == "self\nself\ntail"
+
+    def test_zero_shuffle_plan(self, spark):
+        from n8n_tools_api_spark.operators.dedup import strip_repeated_lines
+
+        df = strip_repeated_lines(spark.createDataFrame(
+            [("a", "x\nx")], "doc_id string, text string"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_composes_with_cross_doc_line_dedup(self, spark):
+        """clean within docs, then strip cross-doc boilerplate — the
+        canon's stage order; composition must not throw and must apply
+        both rules."""
+        from n8n_tools_api_spark.operators.dedup import (
+            line_dedup, strip_repeated_lines)
+
+        rows = [("a", "footer\nA body\nfooter"), ("b", "footer\nB body")]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        stage1 = strip_repeated_lines(df).select(
+            "doc_id", F.col("clean_text").alias("text"))
+        out = {r.doc_id: r for r in line_dedup(stage1).collect()}
+        assert out["a"].clean_text == "A body"
+        assert out["b"].clean_text == "B body"
