@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "dataset_card",
     "url_canonical_dedup",
     "repeated_line_strip",
+    "host_link_stats",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -71,6 +72,10 @@ _DRIVER_TAIL = [
     # preview arithmetic stays driver-exercised through pdf_batch_info
     # (inside the window as a priority entry)
     "processing_info_rollup",
+    # displaced by the round-5 host_link_stats addition: streaming
+    # dedup stays driver-exercised through stream_neardup_agreement /
+    # stream_curation_agreement (both priority entries in the window)
+    "stream_dedup_first_seen",
     # displaced by the round-5 bpe_encoded_tokens / bpe_pack_manifest
     # additions: a generic events sessionization and the brute-force
     # cosine anchor, both green since r03/r01 and byte-stable (the ANN

@@ -5523,6 +5523,152 @@ ORDER BY doc_id
 """
 
 
+def host_link_stats_q(spark, sf_dir):
+    """HOST LINK-GRAPH ORACLE (operators/linkgraph.py — outlink
+    extraction → canonical-host edge set → degrees → 2 rounds of
+    all-integer PageRank; the link-based host ranking Common Crawl
+    seeds its frontier with) over pages BUILT IN-QUERY from
+    documents<320: page i lives on host ``h{i%16}.example.org`` and its
+    HTML links
+
+    * ``https://h{(h+1)%16}.example.org/x`` — a clean absolute link;
+    * ``HTTP://WWW.h{(h*3+1)%16}.EXAMPLE.ORG:80/y`` — same edge rules
+      through canonicalization noise (case, www, port);
+    * ``/local-{i}`` — relative, dropped;
+    * ``https://h{h}.example.org/self`` — self-link, dropped;
+    * for i%5==0 also ``https://sink.example/z`` — a DANGLING host
+      (inlinks only, contributes no mass — the pinned leak).
+
+    The distinct host graph is 17 nodes / 46 edges (h0 and h8's two
+    outlinks coincide — 2h≡0 mod 16 — pinning the distinct-edge
+    collapse).  DuckDB replays extraction, canonicalization, degrees,
+    and both integer PageRank rounds closed-form."""
+    from n8n_tools_api_spark.operators.linkgraph import host_link_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 320)
+    i = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 16).cast("string")
+    h1 = ((F.col("doc_id") + 1) % 16).cast("string")
+    h3 = ((F.col("doc_id") * 3 + 1) % 16).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'), h1,
+        F.lit('.example.org/x">n</a><a href="HTTP://WWW.h'), h3,
+        F.lit('.EXAMPLE.ORG:80/y">m</a><a href="/local-'), i,
+        F.lit('">l</a><a href="https://h'), h,
+        F.lit('.example.org/self">s</a>'),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<a href="https://sink.example/z">k</a>'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://h"), h, F.lit(".example.org/page"), i)
+        .alias("url"),
+        html.alias("html"),
+    )
+    return host_link_stats(pages, iterations=2).orderBy("host")
+
+
+# Closed-form replay: same href regex, same canonical-host rules, same
+# distinct-edge collapse, same two all-integer damped rounds.
+HOST_LINK_SQL = r"""
+WITH pages AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'https://h' || h || '.example.org/page' || CAST(doc_id AS VARCHAR)
+           AS url,
+         '<html><body><a href="https://h' || h1
+         || '.example.org/x">n</a><a href="HTTP://WWW.h' || h3
+         || '.EXAMPLE.ORG:80/y">m</a><a href="/local-'
+         || CAST(doc_id AS VARCHAR)
+         || '">l</a><a href="https://h' || h
+         || '.example.org/self">s</a>'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '<a href="https://sink.example/z">k</a>'
+                 ELSE '' END
+         || '</body></html>' AS html
+  FROM (SELECT doc_id,
+               CAST(doc_id % 16 AS VARCHAR) AS h,
+               CAST((doc_id + 1) % 16 AS VARCHAR) AS h1,
+               CAST((doc_id * 3 + 1) % 16 AS VARCHAR) AS h3
+        FROM documents WHERE doc_id < 320)
+),
+links AS (
+  SELECT url, unnest(regexp_extract_all(COALESCE(html, ''),
+                                        'href="([^"]*)"', 1)) AS href
+  FROM pages
+),
+edges AS (
+  SELECT DISTINCT src_host, dst_host
+  FROM (
+    SELECT
+      regexp_replace(regexp_replace(
+        regexp_extract(lower(COALESCE(url, '')),
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        '^www\.', ''), ':\d+$', '') AS src_host,
+      regexp_replace(regexp_replace(
+        regexp_extract(lower(COALESCE(href, '')),
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        '^www\.', ''), ':\d+$', '') AS dst_host
+    FROM links)
+  WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+),
+nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM edges
+    UNION ALL SELECT dst_host FROM edges)
+),
+odeg AS (
+  SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS out_deg
+  FROM edges GROUP BY src_host
+),
+ideg AS (
+  SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_deg
+  FROM edges GROUP BY dst_host
+),
+r0 AS (
+  SELECT host,
+         CAST(1000000000000 AS BIGINT)
+           // (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS r
+  FROM nodes
+),
+m1 AS (
+  SELECT e.dst_host AS host, CAST(SUM(r.r // o.out_deg) AS BIGINT) AS m
+  FROM edges e
+  JOIN r0 r ON r.host = e.src_host
+  JOIN odeg o ON o.host = e.src_host
+  GROUP BY e.dst_host
+),
+it1 AS (
+  SELECT n.host,
+         (15 * r0.r + 85 * COALESCE(m1.m, 0)) // 100 AS r, r0.r AS r_base
+  FROM nodes n
+  JOIN r0 ON r0.host = n.host
+  LEFT JOIN m1 ON m1.host = n.host
+),
+m2 AS (
+  SELECT e.dst_host AS host, CAST(SUM(r.r // o.out_deg) AS BIGINT) AS m
+  FROM edges e
+  JOIN it1 r ON r.host = e.src_host
+  JOIN odeg o ON o.host = e.src_host
+  GROUP BY e.dst_host
+),
+it2 AS (
+  SELECT i.host, (15 * i.r_base + 85 * COALESCE(m2.m, 0)) // 100 AS r
+  FROM it1 i
+  LEFT JOIN m2 ON m2.host = i.host
+)
+SELECT i.host,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(d.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(i.r AS BIGINT) AS pr
+FROM it2 i
+LEFT JOIN odeg o ON o.host = i.host
+LEFT JOIN ideg d ON d.host = i.host
+ORDER BY i.host
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -5593,6 +5739,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "benchmark_decontam": (benchmark_decontam_q, BENCH_DECONTAM_SQL),
     "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
     "url_canonical_dedup": (url_canonical_dedup_q, URL_CANONICAL_SQL),
+    "host_link_stats": (host_link_stats_q, HOST_LINK_SQL),
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
