@@ -163,6 +163,87 @@ elif OP == "line_dedup":
         F.sum("n_lines").cast("bigint").alias("lines"),
         F.sum("n_removed").cast("bigint").alias("lines_removed"),
     ).collect()[0].asDict()
+elif OP == "url_dedup":
+    # every base doc appears once per replica with a DIFFERENT spelling
+    # of the same underlying URL (case / www / port / tracking-param /
+    # trailing-slash variants keyed by the replica index), so the
+    # canonical groups are exactly the base-doc families — a worst-case
+    # all-rows-are-near-duplicate load for the canonical-key window
+    from n8n_tools_api_spark.operators.curation import url_dedup
+
+    base = F.split(F.col("doc_id"), "_").getItem(1)
+    rmod = (F.conv(F.substring(F.md5(F.col("doc_id")), 1, 4), 16, 10)
+            .cast("int") % 5)
+    url = (
+        F.when(rmod == 0, F.concat(
+            F.lit("https://Host"), base, F.lit(".Example.COM:443/p"), base,
+            F.lit("/?utm_s=x&b=2&a=1#f")))
+        .when(rmod == 1, F.concat(
+            F.lit("https://www.host"), base, F.lit(".example.com/p"), base,
+            F.lit("?a=1&b=2")))
+        .when(rmod == 2, F.concat(
+            F.lit("https://host"), base, F.lit(".example.com/p"), base,
+            F.lit("?b=2&a=1#section-"), base))
+        .when(rmod == 3, F.concat(
+            F.lit("HTTPS://HOST"), base, F.lit(".EXAMPLE.COM/p"), base,
+            F.lit("/?a=1&b=2&gclid=z")))
+        .otherwise(F.concat(
+            F.lit("https://u@host"), base, F.lit(".example.com/p"), base,
+            F.lit("?b=2&a=1&")))
+    )
+    out = url_dedup(corpus.select("doc_id", url.alias("url")))
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+        .cast("bigint").alias("kept"),
+        F.sum("group_size").cast("bigint").alias("group_size_total"),
+    ).collect()[0].asDict()
+elif OP == "line_strip":
+    # zero-shuffle scan op: 8-word lines + a planted 3x page header so
+    # every doc carries real within-doc removals
+    from n8n_tools_api_spark.operators.dedup import strip_repeated_lines
+
+    hdr = F.concat(F.lit("HDR "), F.split(F.col("doc_id"), "_").getItem(1))
+    lined = corpus.select(
+        "doc_id",
+        F.concat(
+            hdr, F.lit("\n"),
+            F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n"),
+            F.lit("\n"), hdr, F.lit("\ntrailer\n"), hdr).alias("text"))
+    out = strip_repeated_lines(lined)
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_lines").cast("bigint").alias("lines"),
+        F.sum("n_removed").cast("bigint").alias("lines_removed"),
+    ).collect()[0].asDict()
+elif OP == "linkgraph":
+    # millions of pages collapse onto a 65,536-host graph with 3
+    # outlinks per host (the distinct-edge collapse IS the load), then
+    # 2 all-integer PageRank rounds over (host, int64) rows
+    from n8n_tools_api_spark.operators.linkgraph import host_link_stats
+
+    hid = (F.conv(F.substring(F.md5(F.concat(F.lit("lg:"), "doc_id")),
+                              1, 8), 16, 10).cast("bigint") % 65536)
+    h = hid.cast("string")
+    d1 = ((hid + 1) % 65536).cast("string")
+    d2 = ((hid * 31 + 7) % 65536).cast("string")
+    d3 = ((hid * 131 + 3) % 65536).cast("string")
+    pages = corpus.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), h, F.lit(".example.org/"), "doc_id")
+        .alias("url"),
+        F.concat(
+            F.lit('<a href="https://h'), d1, F.lit('.example.org/x">1</a>'),
+            F.lit('<a href="https://h'), d2, F.lit('.example.org/y">2</a>'),
+            F.lit('<a href="https://h'), d3, F.lit('.example.org/z">3</a>'),
+            F.lit('<a href="/rel">r</a>')).alias("html"))
+    out = host_link_stats(pages, iterations=2)
+    rollup = out.agg(
+        F.count("*").alias("hosts"),
+        F.sum("pr").cast("bigint").alias("pr_total"),
+        F.max("in_deg").cast("bigint").alias("max_in_deg"),
+        F.sum("out_deg").cast("bigint").alias("edges"),
+    ).collect()[0].asDict()
 elif OP == "bpe":
     # the corpus-scale stage is the word-frequency shuffle; the 8
     # learning rounds iterate over the (fixed-size) vocab table
