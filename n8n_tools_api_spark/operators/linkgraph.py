@@ -69,6 +69,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from n8n_tools_api_spark.operators.curation import canonical_host
+from n8n_tools_api_spark.operators.materialize import RoundMaterializer
 
 HREF_PATTERN = r'href="([^"]*)"'
 
@@ -97,17 +98,30 @@ def extract_host_edges(pages: DataFrame, html_col: str = "html",
 
 def host_link_stats(pages: DataFrame, iterations: int = 2,
                     scale: int = 10 ** 12, html_col: str = "html",
-                    url_col: str = "url") -> DataFrame:
+                    url_col: str = "url",
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Per-host degrees + integer PageRank after ``iterations`` rounds.
 
     Output: (host, out_deg, in_deg, pr) — ``pr`` on the ``scale``
     integer grid.  Construction is fully declarative (the node count
     is a broadcast 1-row aggregate, never a driver ``collect``), so
     the whole computation is one lazy plan.
+
+    The edge set and each round's ranks are cut from the lineage via
+    RoundMaterializer, the same convention as the components loop:
+    default = LAZY ``localCheckpoint`` (first action materializes the
+    distinct edges ONCE; nodes, both degree frames, and every rank
+    round then share the blocks instead of re-running the page scan
+    per reference), ``checkpoint_dir`` = reliable parquet rounds that
+    survive executor loss on a multi-hour web-graph run.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    edges = extract_host_edges(pages, html_col=html_col, url_col=url_col)
+    mat = RoundMaterializer(checkpoint_dir)
+    reliable = checkpoint_dir is not None
+    edges = mat(
+        extract_host_edges(pages, html_col=html_col, url_col=url_col),
+        "edges", eager=reliable)
     nodes = (edges.select(F.col("src_host").alias("host"))
              .unionByName(edges.select(F.col("dst_host").alias("host")))
              .distinct())
@@ -126,7 +140,7 @@ def host_link_stats(pages: DataFrame, iterations: int = 2,
     # 10^8 rows at web scale) — no forced broadcast; AQE picks the
     # join strategy from runtime sizes (broadcast at report scale,
     # shuffled hash at web scale)
-    for _ in range(iterations):
+    for _round in range(iterations):
         contrib = (
             edges
             .join(ranks.select(F.col("host").alias("src_host"),
@@ -146,6 +160,11 @@ def host_link_stats(pages: DataFrame, iterations: int = 2,
                 "_r0",
             )
         )
+        if reliable:
+            # unique tag per round: the NEXT round's plan references
+            # this round's files — never overwrite a live tag
+            ranks = mat(ranks, f"ranks_{_round:03d}")
+            mat.release(f"ranks_{_round - 2:03d}")  # ≥2 rounds back only
     return (
         ranks.join(out_deg, "host", "left")
         .join(in_deg, "host", "left")
