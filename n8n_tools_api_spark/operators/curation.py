@@ -590,3 +590,79 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
         .otherwise(F.lit("url_dup")),
     ).select("doc_id", "url", "canonical_url", "status", "first_doc",
              "group_size")
+
+
+def web_dedup_keep_list(docs: DataFrame, url_col: str = "url",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        min_doc_freq: int = 2) -> DataFrame:
+    """The dedup LADDER of the public web-curation canon composed in
+    its published stage order — cheapest gate first, each stage seeing
+    only the previous stage's survivors (RefinedWeb §3.2 runs exactly
+    this ladder: URL dedup at fetch time, then line-wise corrections,
+    then document-level exact/fuzzy dedup):
+
+    1. :func:`url_dedup` — canonical-URL dedup (no text touched; a
+       recrawl costs one slim window row);
+    2. :func:`~n8n_tools_api_spark.operators.dedup.strip_repeated_lines`
+       — within-doc repeated-line removal (zero shuffle);
+    3. :func:`~n8n_tools_api_spark.operators.dedup.line_dedup` —
+       cross-doc boilerplate-line removal over the CLEANED text;
+    4. exact full-text dedup on the post-cleaning text (md5 window,
+       min-id canonical) — two pages that differed only by nav chrome
+       and repeated headers collapse HERE, which is the reason the
+       line stages run first.
+
+    Output, one row per input doc::
+
+        (doc_id, status 'url_dup' | 'exact_dup' | 'kept', canonical,
+         lines_dropped_within, lines_dropped_boiler)
+
+    ``canonical`` is the stage-appropriate survivor (URL group first
+    doc / exact-text group min doc / itself); the line counters are
+    NULL for url_dup rows (their text was never processed — that IS
+    the saving).  Docs whose text cleans to ``''`` (boilerplate-only
+    pages) form one exact-dup group of the empty text, min-id kept —
+    the documented pseudo-group, same convention as url_dedup's NULL
+    URLs.
+
+    Scale shape: stage 1 exchanges only (id, canonical-url) rows;
+    stage 2 rides the scan; stage 3 exchanges slim (doc_id, q, h)
+    line-key rows (AQE-split hot boilerplate keys); stage 4 exchanges
+    (doc_id, md5) pairs.  Full text never rides a key-keyed shuffle
+    in any stage.
+    """
+    from n8n_tools_api_spark.operators.dedup import (
+        line_dedup, strip_repeated_lines)
+
+    u = url_dedup(docs.select(F.col(id_col).alias("doc_id"),
+                              F.col(url_col).alias("url")))
+    url_dups = u.where(F.col("status") == "url_dup").select(
+        "doc_id", F.lit("url_dup").alias("status"),
+        F.col("first_doc").alias("canonical"),
+        F.lit(None).cast("int").alias("lines_dropped_within"),
+        F.lit(None).cast("int").alias("lines_dropped_boiler"),
+    )
+    survivors = docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text")) \
+        .join(u.where(F.col("status") == "kept").select("doc_id"), "doc_id")
+    within = strip_repeated_lines(survivors)
+    boiler = line_dedup(
+        within.select("doc_id", F.col("clean_text").alias("text")),
+        min_doc_freq=min_doc_freq)
+    cleaned = (
+        within.select("doc_id",
+                      F.col("n_removed").alias("lines_dropped_within"))
+        .join(boiler.select(
+            "doc_id", "clean_text",
+            F.col("n_removed").alias("lines_dropped_boiler")), "doc_id")
+    )
+    w = Window.partitionBy("h")
+    exact = cleaned.withColumn(
+        "h", F.md5(F.col("clean_text").cast("binary"))
+    ).withColumn("canonical", F.min("doc_id").over(w)).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("canonical"), F.lit("kept"))
+        .otherwise(F.lit("exact_dup")).alias("status"),
+        "canonical", "lines_dropped_within", "lines_dropped_boiler",
+    )
+    return url_dups.unionByName(exact)

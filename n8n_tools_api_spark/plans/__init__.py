@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "url_canonical_dedup",
     "repeated_line_strip",
     "host_link_stats",
+    "web_dedup_keep_list",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -76,6 +77,10 @@ _DRIVER_TAIL = [
     # dedup stays driver-exercised through stream_neardup_agreement /
     # stream_curation_agreement (both priority entries in the window)
     "stream_dedup_first_seen",
+    # displaced by the round-5 web_dedup_keep_list addition: the exact
+    # n-gram Jaccard replay (incl. the df-cap) stays driver-exercised
+    # inside curation_keep_list's chained oracle
+    "ngram_jaccard_dups",
     # displaced by the round-5 bpe_encoded_tokens / bpe_pack_manifest
     # additions: a generic events sessionization and the brute-force
     # cosine anchor, both green since r03/r01 and byte-stable (the ANN

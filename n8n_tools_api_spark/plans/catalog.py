@@ -5492,14 +5492,14 @@ s3 AS (
 ),
 s4 AS (
   SELECT doc_id, url, u, scheme, auth, path, host,
-         array_to_string(list_sort(
+         COALESCE(array_to_string(list_sort(
            [p for p in string_split(qraw, '&')
             if p <> ''
                and substr(regexp_replace(p, '=.*$', ''), 1, 4) <> 'utm_'
                and not list_contains(
                      ['fbclid', 'gclid', 'mc_cid', 'mc_eid', 'msclkid',
                       'ref'],
-                     regexp_replace(p, '=.*$', ''))]), '&') AS q
+                     regexp_replace(p, '=.*$', ''))]), '&'), '') AS q
   FROM s3
 ),
 canon AS (
@@ -5669,6 +5669,213 @@ ORDER BY i.host
 """
 
 
+def web_dedup_keep_list_q(spark, sf_dir):
+    """WEB DEDUP-LADDER ORACLE (operators/curation.py:
+    web_dedup_keep_list — RefinedWeb §3.2's stage order: URL dedup →
+    within-doc line strip → cross-doc boilerplate lines → exact text
+    dedup, cheapest gate first) over documents<240, six docs per
+    family g = doc_id div 6:
+
+    * shapes 0-2: three spellings of ONE URL (case/:443/www/utm/gclid/
+      trailing slash) — two become ``url_dup`` (text untouched,
+      counters NULL); the survivor's text carries an in-doc repeated
+      header (within-strip removes 1) and the family-class footer;
+    * shapes 3-4: distinct URLs (4 is junk-identity) with IDENTICAL
+      text — after the shared footer drops, both clean to the same
+      body and the pair collapses as ``exact_dup`` (min id kept) —
+      pinning that exact dedup runs on the POST-cleaning text;
+    * shape 5: NULL URLs — one global ``''`` pseudo-group, min
+      STRING id ('101') survives and is kept with its Solo body;
+    * 'Shared footer {g%%8}' recurs in ~15 survivor docs per class →
+      removed everywhere by the min_doc_freq=3 boilerplate rule,
+      while the 2-doc 'Body family {g}' line stays (frequency
+      boundary pinned).
+
+    240 rows: 119 url_dup / 40 exact_dup / 81 kept.  DuckDB replays
+    all four stages as one chained query."""
+    from n8n_tools_api_spark.operators.curation import web_dedup_keep_list
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    i = F.col("doc_id").cast("string")
+    g = F.expr("doc_id div 6").cast("string")
+    f8 = F.expr("(doc_id div 6) % 8").cast("string")
+    shape = (F.col("doc_id") % 6).cast("int")
+    url = (
+        F.when(shape == 0, F.concat(
+            F.lit("https://Site"), g, F.lit(".COM:443/a"), g,
+            F.lit("/?utm_q=1&x=2#f")))
+        .when(shape == 1, F.concat(
+            F.lit("https://www.site"), g, F.lit(".com/a"), g, F.lit("?x=2")))
+        .when(shape == 2, F.concat(
+            F.lit("HTTPS://SITE"), g, F.lit(".COM/a"), g,
+            F.lit("/?x=2&gclid=9")))
+        .when(shape == 3, F.concat(
+            F.lit("https://site"), g, F.lit(".com/b"), g))
+        .when(shape == 4, F.concat(F.lit("page ref "), i))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    text = (
+        F.when(shape <= 2, F.concat(
+            F.lit("H "), i, F.lit("\nContent "), i, F.lit("\nH "), i,
+            F.lit("\nShared footer "), f8))
+        .when(shape <= 4, F.concat(
+            F.lit("Body family "), g, F.lit("\nShared footer "), f8))
+        .otherwise(F.concat(
+            F.lit("Solo "), i, F.lit("\nShared footer "), f8))
+    )
+    corpus = docs.select(i.alias("doc_id"), url.alias("url"),
+                         text.alias("text"))
+    return web_dedup_keep_list(corpus, min_doc_freq=3).orderBy("doc_id")
+
+
+# One chained replay of all four stages: URL canonicalization + window,
+# within-doc first-occurrence filter, cross-doc trimmed-key
+# distinct-doc boilerplate rule (>= 3), md5 exact window.
+WEB_DEDUP_SQL = r"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'https://Site' || g || '.COM:443/a' || g
+                  || '/?utm_q=1&x=2#f'
+      WHEN 1 THEN 'https://www.site' || g || '.com/a' || g || '?x=2'
+      WHEN 2 THEN 'HTTPS://SITE' || g || '.COM/a' || g || '/?x=2&gclid=9'
+      WHEN 3 THEN 'https://site' || g || '.com/b' || g
+      WHEN 4 THEN 'page ref ' || CAST(doc_id AS VARCHAR)
+      ELSE NULL END AS url,
+    CASE WHEN doc_id % 6 <= 2 THEN
+           'H ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'Content ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'H ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'Shared footer ' || f8
+         WHEN doc_id % 6 <= 4 THEN
+           'Body family ' || g || chr(10) || 'Shared footer ' || f8
+         ELSE
+           'Solo ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'Shared footer ' || f8
+    END AS text
+  FROM (SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) AS g,
+               CAST((doc_id // 6) % 8 AS VARCHAR) AS f8
+        FROM documents WHERE doc_id < 240)
+),
+u1 AS (
+  SELECT doc_id, url, text, COALESCE(url, '') AS u FROM src
+),
+u2 AS (
+  SELECT doc_id, url, text, u,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+           AS auth,
+         regexp_replace(
+           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+           '/+$', '') AS path,
+         regexp_extract(u, '\?([^#]*)', 1) AS qraw
+  FROM u1
+),
+u3 AS (
+  SELECT doc_id, url, text, u, scheme, auth, path, qraw,
+         CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+              ELSE h0 END AS host
+  FROM (SELECT *,
+          regexp_replace(
+            regexp_replace(lower(auth), '^[^@]*@', ''),
+            '^www\.', '') AS h0
+        FROM u2)
+),
+u4 AS (
+  SELECT doc_id, url, text, u, scheme, auth, path, host,
+         COALESCE(array_to_string(list_sort(
+           [p for p in string_split(qraw, '&')
+            if p <> ''
+               and substr(regexp_replace(p, '=.*$', ''), 1, 4) <> 'utm_'
+               and not list_contains(
+                     ['fbclid', 'gclid', 'mc_cid', 'mc_eid', 'msclkid',
+                      'ref'],
+                     regexp_replace(p, '=.*$', ''))]), '&'), '') AS q
+  FROM u3
+),
+ucanon AS (
+  SELECT doc_id, text,
+         CASE WHEN auth <> '' THEN
+                scheme || '://' || host || path
+                || CASE WHEN q = '' THEN '' ELSE '?' || q END
+              ELSE u END AS canonical_url
+  FROM u4
+),
+udisp AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY canonical_url) AS first_doc
+  FROM ucanon
+),
+url_dups AS (
+  SELECT doc_id, 'url_dup' AS status, first_doc AS canonical,
+         CAST(NULL AS INT) AS lines_dropped_within,
+         CAST(NULL AS INT) AS lines_dropped_boiler
+  FROM udisp WHERE doc_id <> first_doc
+),
+survivors AS (
+  SELECT doc_id, text FROM udisp WHERE doc_id = first_doc
+),
+w1 AS (
+  SELECT doc_id, ls, [trim(x) for x in ls] AS ks
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+        FROM survivors)
+),
+w2 AS (
+  SELECT doc_id,
+         list_filter(ls, (x, i) -> trim(x) = ''
+                                   OR list_position(ks, trim(x)) = i)
+           AS kept1,
+         CAST(len(ls) - len(list_filter(ls,
+           (x, i) -> trim(x) = ''
+                     OR list_position(ks, trim(x)) = i)) AS INT)
+           AS lines_dropped_within
+  FROM w1
+),
+l1 AS (
+  SELECT doc_id, kept1 AS ls, lines_dropped_within FROM w2
+),
+occ2 AS (
+  SELECT doc_id, i - 1 AS q, md5(trim(ls[i])) AS h
+  FROM l1, UNNEST(generate_series(1, len(ls))) AS t(i)
+  WHERE trim(ls[i]) != ''
+),
+boiler2 AS (
+  SELECT h FROM occ2 GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3
+),
+rem2 AS (
+  SELECT doc_id, list(q) AS qs
+  FROM occ2 JOIN boiler2 USING (h) GROUP BY doc_id
+),
+cleaned AS (
+  SELECT l.doc_id, l.lines_dropped_within,
+         [l.ls[j] for j in generate_series(1, len(l.ls))
+          if not list_contains(COALESCE(r.qs, []), j - 1)] AS kept2,
+         CAST(len(l.ls) AS INT) AS n_l
+  FROM l1 l LEFT JOIN rem2 r USING (doc_id)
+),
+exacted AS (
+  SELECT doc_id, lines_dropped_within,
+         CAST(n_l - len(kept2) AS INT) AS lines_dropped_boiler,
+         min(doc_id) OVER (
+           PARTITION BY md5(array_to_string(kept2, chr(10)))) AS canonical
+  FROM cleaned
+)
+SELECT doc_id, status, canonical, lines_dropped_within,
+       lines_dropped_boiler
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id = canonical THEN 'kept'
+              ELSE 'exact_dup' END AS status,
+         canonical, lines_dropped_within, lines_dropped_boiler
+  FROM exacted
+  UNION ALL
+  SELECT * FROM url_dups)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -5740,6 +5947,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "url_blocklist": (url_blocklist_q, URL_BLOCKLIST_SQL),
     "url_canonical_dedup": (url_canonical_dedup_q, URL_CANONICAL_SQL),
     "host_link_stats": (host_link_stats_q, HOST_LINK_SQL),
+    "web_dedup_keep_list": (web_dedup_keep_list_q, WEB_DEDUP_SQL),
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),

@@ -279,3 +279,43 @@ def test_web_pipeline_lsh_twin_agrees_on_fixture(spark, sf_dir):
     lsh = {(r["doc_id"], r["status"]) for r in
            _web_pipeline(spark, sf_dir, use_lsh=True).collect()}
     assert exact == lsh
+
+
+class TestWebDedupKeepList:
+    """RefinedWeb-order dedup ladder (curation.py:web_dedup_keep_list)."""
+
+    def _run(self, spark, rows, **kw):
+        from n8n_tools_api_spark.operators.curation import (
+            web_dedup_keep_list)
+
+        df = spark.createDataFrame(
+            rows, "doc_id string, url string, text string")
+        return {r.doc_id: r for r in web_dedup_keep_list(df, **kw).collect()}
+
+    def test_stage_order_and_statuses(self, spark):
+        rows = [
+            # a/b: same canonical URL -> b never reaches the text stages
+            ("a", "https://x.com/p?k=1", "H\nbody a\nH\nshared footer"),
+            ("b", "https://WWW.x.com/p/?k=1#f", "ignored entirely"),
+            # c/d: distinct URLs, texts equal AFTER footer drop -> exact
+            ("c", "https://x.com/q", "body cd\nshared footer"),
+            ("d", "https://y.com/q", "body cd\nshared footer"),
+        ]
+        out = self._run(spark, rows, min_doc_freq=3)
+        assert out["b"].status == "url_dup" and out["b"].canonical == "a"
+        assert out["b"].lines_dropped_within is None
+        # footer appears in 3 surviving docs -> boilerplate
+        assert out["a"].status == "kept"
+        assert out["a"].lines_dropped_within == 1  # repeated H
+        assert out["a"].lines_dropped_boiler == 1
+        assert out["c"].status == "kept"
+        assert out["d"].status == "exact_dup" and out["d"].canonical == "c"
+
+    def test_hostile_nulls_total(self, spark):
+        rows = [("a", None, None), ("b", None, None), ("c", "u", "t")]
+        out = self._run(spark, rows)
+        # NULL urls form one pseudo-group; survivor's NULL text cleans
+        # to one empty line and stays total
+        assert out["b"].status == "url_dup"
+        assert out["a"].status in ("kept", "exact_dup")
+        assert out["c"].status == "kept"
