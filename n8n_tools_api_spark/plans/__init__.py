@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "repeated_line_strip",
     "host_link_stats",
     "web_dedup_keep_list",
+    "stream_url_agreement",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -81,6 +82,11 @@ _DRIVER_TAIL = [
     # n-gram Jaccard replay (incl. the df-cap) stays driver-exercised
     # inside curation_keep_list's chained oracle
     "ngram_jaccard_dups",
+    # displaced by the round-5 stream_url_agreement addition: the F1
+    # clean6 md5 replay stays driver-exercised inside
+    # curation_keep_list's chain, extraction itself through
+    # extract_documents_stats
+    "extract_clean_fingerprints",
     # displaced by the round-5 bpe_encoded_tokens / bpe_pack_manifest
     # additions: a generic events sessionization and the brute-force
     # cosine anchor, both green since r03/r01 and byte-stable (the ANN

@@ -3384,7 +3384,8 @@ def _stream_agreement_corpus(spark, sf_dir, with_exact_dups):
     return b1, b2
 
 
-def _run_stream_rounds(spark, build_stream, batches, name):
+def _run_stream_rounds(spark, build_stream, batches, name,
+                       schema=None):
     """Feed arrival batches through a REAL streaming query (parquet
     source/sink, availableNow trigger, shared checkpoint) one batch per
     run — distinct micro-batches, so cross-batch first-claim order is
@@ -3396,9 +3397,11 @@ def _run_stream_rounds(spark, build_stream, batches, name):
 
     root = f"/tmp/spark_graft_stream_oracle/{os.getpid()}/{name}"
     shutil.rmtree(root, ignore_errors=True)
-    schema = "doc_id string, event_time timestamp, text string"
+    if schema is None:
+        schema = "doc_id string, event_time timestamp, text string"
+    cols = [f.split()[0] for f in schema.split(",")]
     for b in batches:
-        b.select("doc_id", "event_time", "text").write.mode("append") \
+        b.select(*cols).write.mode("append") \
             .parquet(f"{root}/in")
         q = (
             build_stream(spark.readStream.schema(schema)
@@ -5876,6 +5879,123 @@ ORDER BY doc_id
 """
 
 
+def stream_url_agreement(spark, sf_dir):
+    """STREAMING URL-DEDUP AGREEMENT ORACLE: the REAL ingest-time
+    canonical-URL prefilter (streaming/dedup_stream.py:
+    url_dedup_stream — dropDuplicatesWithinWatermark over the
+    canonical key, run through a parquet-source/sink availableNow
+    query) AND its deterministic batch twin, both rolled up against
+    the closed-form disposition of the planted corpus:
+
+    * ``base``    — documents<150, batch 1, one clean URL per doc →
+      all admitted (first fetch);
+    * ``respell`` — batch 2, id<60: the SAME pages under
+      case/www/:443/utm/trailing-slash respellings → all suppressed
+      (canonicalization collapses them onto batch 1's claims);
+    * ``newpath`` — batch 2, id<40: same hosts, DIFFERENT path → all
+      admitted (path is identity-bearing);
+    * ``nourl``   — 8 NULL-URL docs in batch 1 + 6 in batch 2 → ALL
+      admitted (the pinned ingest exemption: un-URL'd docs carry no
+      fetch identity; the BATCH operator's ''-pseudo-group collapse
+      is dedup accounting, not ingest policy — divergence documented
+      in streaming/dedup_stream.py:_url_key).
+
+    DuckDB computes the expectation from the construction alone; the
+    green row IS the claim stream ≡ twin ≡ spec."""
+    from n8n_tools_api_spark.streaming import (
+        url_dedup_stream, url_dedup_stream_batch_twin)
+
+    base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    did = F.col("doc_id").cast("string")
+    t1 = F.timestamp_add("SECOND", F.col("doc_id").cast("int"), base_ts)
+    t2 = F.timestamp_add("SECOND", (F.col("doc_id") + 600).cast("int"),
+                         base_ts)
+    b1 = docs.select(
+        did.alias("doc_id"), t1.alias("event_time"),
+        F.concat(F.lit("https://site"), did, F.lit(".com/p"), did,
+                 F.lit("?x=1&y=2")).alias("url"),
+        F.lit("base").alias("category"),
+    ).unionByName(docs.where(F.col("doc_id") < 8).select(
+        F.concat(F.lit("nourl1_"), did).alias("doc_id"),
+        t1.alias("event_time"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit("nourl").alias("category"),
+    ))
+    b2 = docs.where(F.col("doc_id") < 60).select(
+        F.concat(F.lit("re_"), did).alias("doc_id"),
+        t2.alias("event_time"),
+        F.concat(F.lit("HTTPS://WWW.Site"), did, F.lit(".COM:443/p"), did,
+                 F.lit("/?y=2&x=1&utm_src=a#top")).alias("url"),
+        F.lit("respell").alias("category"),
+    ).unionByName(docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("np_"), did).alias("doc_id"),
+        t2.alias("event_time"),
+        F.concat(F.lit("https://site"), did, F.lit(".com/OTHER"), did)
+        .alias("url"),
+        F.lit("newpath").alias("category"),
+    )).unionByName(docs.where(F.col("doc_id") < 6).select(
+        F.concat(F.lit("nourl2_"), did).alias("doc_id"),
+        t2.alias("event_time"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit("nourl").alias("category"),
+    ))
+    admitted = _run_stream_rounds(
+        spark, lambda st: url_dedup_stream(st, watermark="2 hours"),
+        [b1, b2], "urldedup",
+        schema="doc_id string, event_time timestamp, url string")
+    allr = b1.unionByName(b2)
+    twin = url_dedup_stream_batch_twin(allr).select(
+        "doc_id", F.lit(1).alias("_t"))
+    expect_admit = F.col("category") != "respell"
+    return (
+        allr.select("doc_id", "category")
+        .join(admitted.withColumn("_s", F.lit(1)), "doc_id", "left")
+        .join(twin, "doc_id", "left")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("_s").cast("bigint").alias("n_stream_admitted"),
+            F.count("_t").cast("bigint").alias("n_twin_admitted"),
+            F.count(F.when(F.col("_s").isNotNull() == expect_admit, 1))
+            .cast("bigint").alias("n_agree"),
+        )
+        .orderBy("category")
+    )
+
+
+# Closed-form expectation from the corpus construction: every category
+# admits fully except respell (0 of 60).
+STREAM_URL_AGREEMENT_SQL = """
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'base' AS category,
+         TRUE AS expect FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT 'nourl1_' || CAST(doc_id AS VARCHAR), 'nourl', TRUE
+  FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT 'nourl2_' || CAST(doc_id AS VARCHAR), 'nourl', TRUE
+  FROM documents WHERE doc_id < 6
+  UNION ALL
+  SELECT 're_' || CAST(doc_id AS VARCHAR), 'respell', FALSE
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT 'np_' || CAST(doc_id AS VARCHAR), 'newpath', TRUE
+  FROM documents WHERE doc_id < 40
+)
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN expect THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stream_admitted,
+       CAST(SUM(CASE WHEN expect THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_twin_admitted,
+       CAST(COUNT(*) AS BIGINT) AS n_agree
+FROM corpus
+GROUP BY category
+ORDER BY category
+"""
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {
@@ -5948,6 +6068,8 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "url_canonical_dedup": (url_canonical_dedup_q, URL_CANONICAL_SQL),
     "host_link_stats": (host_link_stats_q, HOST_LINK_SQL),
     "web_dedup_keep_list": (web_dedup_keep_list_q, WEB_DEDUP_SQL),
+    "stream_url_agreement": (stream_url_agreement,
+                             STREAM_URL_AGREEMENT_SQL),
     "mixture_sample_report": (mixture_sample_report_q, MIXTURE_SAMPLE_SQL),
     "web_curation_keep_list": (web_curation_keep_list_q, WEB_CURATION_SQL),
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),

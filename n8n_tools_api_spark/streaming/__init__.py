@@ -3,7 +3,9 @@ from .curation_stream import (
     curation_stream_batch_twin,
     periodic_components_keep_list,
 )
-from .dedup_stream import dedup_batch_twin, dedup_stream, with_content_hash
+from .dedup_stream import (dedup_batch_twin, dedup_stream,
+                           url_dedup_stream, url_dedup_stream_batch_twin,
+                           with_content_hash)
 from .incremental import incremental_extract
 from .neardup_stream import (
     neardup_prefilter_batch_twin,
@@ -17,6 +19,8 @@ __all__ = [
     "curation_stream_batch_twin",
     "periodic_components_keep_list",
     "dedup_batch_twin",
+    "url_dedup_stream",
+    "url_dedup_stream_batch_twin",
     "dedup_stream",
     "with_content_hash",
     "incremental_extract",

@@ -99,3 +99,67 @@ def dedup_batch_twin(docs: DataFrame, order_col: str = "event_time",
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _url_key(url_col: str = "url", id_col: str = "doc_id"):
+    """Dedup key: canonical URL, or a doc-unique sentinel for docs
+    whose URL canonicalizes to ``''`` (NULL/empty — no fetch identity).
+
+    Divergence from the BATCH operator pinned here: batch
+    ``curation.url_dedup`` collapses all ``''`` keys into one
+    pseudo-group (dedup ACCOUNTING — the group is visible in the
+    disposition), while the ingest prefilter EXEMPTS them — dropping
+    every un-URL'd document after the first at ingest would be silent
+    data loss, the same reason :func:`_dedup_key` exempts NULL text.
+    ``__nourl__:<doc_id>`` cannot collide with a real canonical URL
+    (every parsed canonical contains ``://``, and junk identities are
+    the raw url — which for the sentinel's shape would itself have
+    been exempted).
+    """
+    from n8n_tools_api_spark.operators.curation import canonical_url
+
+    canon = canonical_url(F.col(url_col))
+    return F.when(
+        canon != "", canon
+    ).otherwise(F.concat(F.lit("__nourl__:"), F.col(id_col).cast("string")))
+
+
+def url_dedup_stream(docs: DataFrame, event_time_col: str = "event_time",
+                     watermark: str = "10 minutes",
+                     url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """First-FETCH-wins canonical-URL dedup over a document stream —
+    the ingest twin of ``curation.url_dedup`` (RefinedWeb's stage-1 URL
+    dedup run continuously): a recrawl or tracking-decorated respelling
+    arriving within ``watermark`` of the original is suppressed before
+    its text costs anything downstream; state ages out with the
+    watermark so it tracks the arrival window, not crawl history (the
+    batch operator owns corpus-lifetime URL dedup).
+    """
+    return (
+        docs.withColumn("canonical_url", _url_key(url_col, id_col))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .drop("canonical_url")
+    )
+
+
+def url_dedup_stream_batch_twin(docs: DataFrame,
+                                order_col: str = "event_time",
+                                url_col: str = "url",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic batch companion of :func:`url_dedup_stream`: keep
+    the event-time-earliest row (tiebroken on ``id_col``) per canonical
+    URL, with the same ``''``-exemption key. Agrees exactly with the
+    stream when arrival order matches event time (what ingest sees);
+    the surviving canonical-key SET is identical either way.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(_url_key(url_col, id_col)) \
+        .orderBy(order_col, id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
