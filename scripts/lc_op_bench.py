@@ -164,16 +164,20 @@ elif OP == "line_dedup":
         F.sum("n_removed").cast("bigint").alias("lines_removed"),
     ).collect()[0].asDict()
 elif OP == "url_dedup":
-    # every base doc appears once per replica with a DIFFERENT spelling
-    # of the same underlying URL (case / www / port / tracking-param /
-    # trailing-slash variants keyed by the replica index), so the
-    # canonical groups are exactly the base-doc families — a worst-case
-    # all-rows-are-near-duplicate load for the canonical-key window
+    # constant-size canonical families (the realistic shape — real URL
+    # dup groups are a handful of recrawls/spellings, not O(corpus)):
+    # docs group by (base doc, replica div 5), each family carrying the
+    # SAME underlying URL under 5 spellings (case / www / port /
+    # tracking-param / trailing-slash), so the canonical key space
+    # GROWS with the corpus — the high-cardinality regime the operator
+    # documents — while every group still exercises the collapse
     from n8n_tools_api_spark.operators.curation import url_dedup
 
-    base = F.split(F.col("doc_id"), "_").getItem(1)
-    rmod = (F.conv(F.substring(F.md5(F.col("doc_id")), 1, 4), 16, 10)
-            .cast("int") % 5)
+    rep = F.regexp_extract(F.col("doc_id"), r"^r(\d+)_", 1).cast("int")
+    base = F.concat(F.split(F.col("doc_id"), "_").getItem(1),
+                    F.lit("f"), F.expr("cast(regexp_extract(doc_id, "
+                                       "'^r(\\\\d+)_', 1) as int) div 5"))
+    rmod = rep % 5
     url = (
         F.when(rmod == 0, F.concat(
             F.lit("https://Host"), base, F.lit(".Example.COM:443/p"), base,
