@@ -239,7 +239,8 @@ def canonical_host(url) -> "F.Column":
 
 def per_host_cap(docs: DataFrame, cap: int, url_col: str = "url",
                  quality_col: str | None = None, id_col: str = "doc_id",
-                 salt_buckets: int = 16) -> DataFrame:
+                 salt_buckets: int = 16,
+                 host_col: str | None = None) -> DataFrame:
     """Cap the corpus at ``cap`` documents per canonical host, keeping
     the best — the host-balancing stage of the public web-curation
     canon (CCNet/RefinedWeb/FineWeb all bound per-domain volume so a
@@ -266,7 +267,14 @@ def per_host_cap(docs: DataFrame, cap: int, url_col: str = "url",
         raise ValueError(f"cap must be >= 1, got {cap}")
     order = [F.col("_hq").desc_nulls_last(), F.col(id_col).asc()] \
         if quality_col is not None else [F.col(id_col).asc()]
-    with_host = docs.withColumn("host", canonical_host(F.col(url_col)))
+    if host_col is not None:
+        # caller already holds a canonical host (e.g. from
+        # url_blocklist_filter) — grouping by it verbatim avoids the
+        # double-canonicalization trap (a second pass would strip a
+        # second 'www.' / ':port' and merge distinct hosts)
+        with_host = docs.withColumn("host", F.col(host_col))
+    else:
+        with_host = docs.withColumn("host", canonical_host(F.col(url_col)))
     if quality_col is not None:
         with_host = with_host.withColumn("_hq", F.col(quality_col))
     else:
@@ -448,15 +456,11 @@ def web_curation_keep_list(docs: DataFrame, blocked_domains: DataFrame,
     dup_or_rejected = cur.where(F.col("status") != "kept")
 
     hostkept = cur.where(F.col("status") == "kept").select("doc_id").join(
-        urlstat.select("doc_id", F.col("host").alias("url")), "doc_id")
-    # per_host_cap re-canonicalizes its url column; the host is already
-    # canonical and canonical_host('' / bare host) = '' only for
-    # scheme-less strings — so feed it as a synthetic URL
-    capped = per_host_cap(
-        hostkept.select(
-            "doc_id",
-            F.concat(F.lit("s://"), F.col("url")).alias("url")),
-        cap=host_cap)
+        urlstat.select("doc_id", "host"), "doc_id")
+    # the host from url_blocklist_filter is already canonical — pass it
+    # through the host_col seam so per_host_cap can't strip a second
+    # 'www.' / ':port' and merge hosts the oracle keeps distinct
+    capped = per_host_cap(hostkept, cap=host_cap, host_col="host")
     rejected_cap = _status(
         hostkept.join(capped.select("doc_id"), "doc_id", "left_anti"),
         "rejected_host_cap")

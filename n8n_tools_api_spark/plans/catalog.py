@@ -3953,8 +3953,11 @@ def _web_pipeline(spark, sf_dir, use_lsh=False):
     (documents<300 as 4-sentence pages + copy_/mut_/js_/brc_/rep_
     branches) with planted URLs: doc_id%10==6 pages sit on
     www.badsite.org (rejected_url BEFORE any text stage — their exact
-    twins then dedup among themselves), ids 100-199 share one
-    bighost.example host (cap pressure), everything else gets a unique
+    twins then dedup among themselves), ids 100-149 share one
+    bighost.example host and ids 150-199 share www.bighost.example via
+    a double-www URL (cap pressure on both, AND a detector for any
+    second canonicalization pass — re-stripping 'www.' would merge the
+    two hosts and break the hash), everything else gets a unique
     host. The benchmark is donated by ids 200-299 ≡ 3 (mod 10): words
     3..23 of their page text — their cleaned text must surface as
     ``contaminated``. One DuckDB query chains ALL seven replays; a
@@ -3977,8 +3980,13 @@ def _web_pipeline(spark, sf_dir, use_lsh=False):
     base_url = (
         F.when(idn % 10 == 6,
                F.concat(F.lit("https://www.badsite.org/p"), did))
-        .when((idn >= 100) & (idn < 200),
+        .when((idn >= 100) & (idn < 150),
               F.concat(F.lit("https://bighost.example/p"), did))
+        .when((idn >= 150) & (idn < 200),
+              # canonical host KEEPS one 'www.' (www.bighost.example):
+              # a second canonicalization pass anywhere in the chain
+              # would merge it with bighost.example and break parity
+              F.concat(F.lit("https://www.www.bighost.example/p"), did))
         .otherwise(F.concat(F.lit("https://"), did, F.lit(".example/p")))
     )
     base = docs.where(idn < 300).select(
@@ -4034,8 +4042,10 @@ _WEB_SRC_CTES = r"""wsrc AS (
   SELECT did AS doc_id,
          l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4 AS text,
          CASE WHEN id % 10 = 6 THEN 'https://www.badsite.org/p' || did
-              WHEN id >= 100 AND id < 200
+              WHEN id >= 100 AND id < 150
                 THEN 'https://bighost.example/p' || did
+              WHEN id >= 150 AND id < 200
+                THEN 'https://www.www.bighost.example/p' || did
               ELSE 'https://' || did || '.example/p' END AS url
   FROM ln
   UNION ALL

@@ -52,13 +52,15 @@ def test_pipeline_queries_run(spark, sf_dir, name):
     assert len(rows) > 0, f"{name} returned no rows"
 
 
-# queries whose CONSTRUCTION legitimately runs Spark jobs: the
-# components fixpoint iterates (limit(1).count() per round) and the
-# minhash paths localCheckpoint the banded DF eagerly
-_EAGER_BY_DESIGN = {"near_dup_clusters", "minhash_near_dups",
-                    "curation_pipeline", "ann_recall_evidence",
-                    "ann_kmeans_refined_counts", "stream_curation",
-                    "web_pipeline_lsh"}
+# queries whose CONSTRUCTION legitimately runs Spark jobs: everything
+# that reaches the components fixpoint (one convergence .collect() per
+# round) or the k-means/recall loops. Measured with the fixed classic-
+# DataFrame patch by emptying this set and recording the failures —
+# minhash_near_dups and ann_kmeans_refined_counts turned out NOT to be
+# eager and are now guarded.
+_EAGER_BY_DESIGN = {"near_dup_clusters", "curation_pipeline",
+                    "ann_recall_evidence", "stream_curation",
+                    "web_pipeline_lsh", "semdedup_status_counts"}
 
 
 @pytest.mark.parametrize(
@@ -67,8 +69,14 @@ def test_query_construction_runs_no_driver_action(spark, sf_dir, name,
                                                   monkeypatch):
     """Building a query plan must not trigger driver actions (round-2
     verdict #5: embedding_near_dup_pairs sniffed the vector dim with
-    `.first()`, one extra driver job per query)."""
-    from pyspark.sql import DataFrame
+    `.first()`, one extra driver job per query).
+
+    Patches the CLASSIC DataFrame (the concrete runtime class on a
+    non-Connect session), not the abstract ``pyspark.sql.DataFrame``
+    parent: on PySpark 4 the classic subclass overrides every action,
+    so a patch on the parent is dead code and the guard can never fire
+    (round-5 review finding — verified by planting a .collect())."""
+    from pyspark.sql.classic.dataframe import DataFrame
 
     def _boom(self, *a, **k):
         raise AssertionError(f"driver action during {name} plan construction")
