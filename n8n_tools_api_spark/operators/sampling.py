@@ -39,7 +39,11 @@ def sample_threshold_hex(rate: float) -> str:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     if rate >= 1.0:
         return KEEP_ALL_THRESHOLD
-    return format(int(rate * 2 ** 32), "08x")
+    # float rounding can push rate*2^32 to exactly 2^32 for rates just
+    # under 1.0 (e.g. 1 - 2^-53), which would format as NINE hex digits
+    # and break the equal-length lexicographic-order invariant — clamp
+    # to the largest 8-digit threshold (keeps all but ~1/2^32)
+    return format(min(int(rate * 2 ** 32), 2 ** 32 - 1), "08x")
 
 
 def sample_key(id_col: Column, seed: int) -> Column:

@@ -111,17 +111,20 @@ def _url_key(url_col: str = "url", id_col: str = "doc_id"):
     disposition), while the ingest prefilter EXEMPTS them — dropping
     every un-URL'd document after the first at ingest would be silent
     data loss, the same reason :func:`_dedup_key` exempts NULL text.
-    ``__nourl__:<doc_id>`` cannot collide with a real canonical URL
-    (every parsed canonical contains ``://``, and junk identities are
-    the raw url — which for the sentinel's shape would itself have
-    been exempted).
+
+    The two key branches live in DISJOINT namespaces: real canonicals
+    are prefixed ``u:`` and sentinels ``n:<doc_id>``. The prefix is
+    load-bearing — an unparseable URL canonicalizes to ITSELF
+    (identity, non-empty), so without it a junk url field spelled
+    exactly like the sentinel of a NULL-URL document would share its
+    key and silently drop one of the two rows.
     """
     from n8n_tools_api_spark.operators.curation import canonical_url
 
     canon = canonical_url(F.col(url_col))
     return F.when(
-        canon != "", canon
-    ).otherwise(F.concat(F.lit("__nourl__:"), F.col(id_col).cast("string")))
+        canon != "", F.concat(F.lit("u:"), canon)
+    ).otherwise(F.concat(F.lit("n:"), F.col(id_col).cast("string")))
 
 
 def url_dedup_stream(docs: DataFrame, event_time_col: str = "event_time",

@@ -40,6 +40,16 @@ class TestThreshold:
     def test_keep_all_sentinel_sorts_above_hex(self):
         assert "ffffffff" < KEEP_ALL_THRESHOLD
 
+    def test_threshold_always_eight_hex_digits(self):
+        # rates just under 1.0 round int(rate*2^32) up to 2^32; a
+        # 9-digit threshold would silently invert the lexicographic
+        # comparison (round-5 review finding) — must clamp
+        for r in (1 - 2**-53, 1 - 2**-40, 0.9999999999,
+                  0.5, 0.1, 2**-40, 0.0):
+            t = sample_threshold_hex(r)
+            assert len(t) == 8 and set(t) <= set("0123456789abcdef"), (r, t)
+        assert sample_threshold_hex(1 - 2**-53) == "ffffffff"
+
 
 class TestStratifiedSample:
     def test_rate_one_and_zero_are_exact(self, spark):

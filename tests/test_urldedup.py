@@ -73,3 +73,23 @@ def test_canonical_idempotent(spark, raw):
     df2 = df.select("c1", canonical_url(F.col("c1")).alias("c2"))
     r = df2.collect()[0]
     assert r.c1 == r.c2
+
+
+def test_url_key_sentinel_cannot_collide_with_junk_url(spark):
+    """Ingest exemption keys live in a namespace disjoint from real
+    canonicals (round-5 review finding): a junk url field spelled like
+    a NULL-URL document's sentinel must NOT share its dedup key — both
+    rows survive the ingest prefilter."""
+    from n8n_tools_api_spark.streaming.dedup_stream import (
+        url_dedup_stream_batch_twin)
+
+    rows = [
+        ("42", "2024-06-01 12:00:00", None),          # sentinel: n:42
+        ("junk", "2024-06-01 12:00:01", "n:42"),      # identity junk
+        ("junk2", "2024-06-01 12:00:02", "__nourl__:42"),  # old spelling
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, url string") \
+        .select("doc_id", F.to_timestamp("ts").alias("event_time"), "url")
+    kept = sorted(r.doc_id for r in
+                  url_dedup_stream_batch_twin(df).collect())
+    assert kept == ["42", "junk", "junk2"]
