@@ -97,12 +97,17 @@ def _apply_merge(sym_col: Column, left: str, right: str) -> Column:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    s = F.split("sym", _US)
+    # the split array MUST be bound as a column before the lambda:
+    # referencing F.split(...) inside transform re-evaluates the split
+    # per element (no CSE inside higher-order lambdas — the measured
+    # 354s→20.8s class of regression hoisted everywhere else)
+    bound = words.select("freq", F.split("sym", _US).alias("_syms"))
+    s = F.col("_syms")
     # a fully merged word is ONE symbol; sequence(1, 0) would count
     # DOWN (the repo-documented Spark pitfall), so guard explicitly
     idxs = F.when(F.size(s) >= 2, F.sequence(F.lit(1), F.size(s) - 1)) \
             .otherwise(F.array().cast("array<int>"))
-    pairs = words.select(
+    pairs = bound.select(
         "freq",
         F.explode(F.transform(
             idxs,

@@ -598,7 +598,8 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
 
 def web_dedup_keep_list(docs: DataFrame, url_col: str = "url",
                         text_col: str = "text", id_col: str = "doc_id",
-                        min_doc_freq: int = 2) -> DataFrame:
+                        min_doc_freq: int = 2,
+                        checkpoint_dir: str | None = None) -> DataFrame:
     """The dedup LADDER of the public web-curation canon composed in
     its published stage order — cheapest gate first, each stage seeing
     only the previous stage's survivors (RefinedWeb §3.2 runs exactly
@@ -634,12 +635,21 @@ def web_dedup_keep_list(docs: DataFrame, url_col: str = "url",
     line-key rows (AQE-split hot boilerplate keys); stage 4 exchanges
     (doc_id, md5) pairs.  Full text never rides a key-keyed shuffle
     in any stage.
+
+    Both multiply-consumed frames are cut (lazily in local mode;
+    parquet rounds under ``checkpoint_dir`` on a cluster): the
+    url_dedup window feeds the url_dup branch AND the survivors join,
+    and strip_repeated_lines feeds line_dedup AND the counters join —
+    without the cut each consumer re-executes the upstream stage.
     """
     from n8n_tools_api_spark.operators.dedup import (
         line_dedup, strip_repeated_lines)
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
 
-    u = url_dedup(docs.select(F.col(id_col).alias("doc_id"),
-                              F.col(url_col).alias("url")))
+    mat = RoundMaterializer(checkpoint_dir)
+    u = mat(url_dedup(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(url_col).alias("url"))),
+            "url_dedup", eager=False)
     url_dups = u.where(F.col("status") == "url_dup").select(
         "doc_id", F.lit("url_dup").alias("status"),
         F.col("first_doc").alias("canonical"),
@@ -649,7 +659,7 @@ def web_dedup_keep_list(docs: DataFrame, url_col: str = "url",
     survivors = docs.select(F.col(id_col).alias("doc_id"),
                             F.col(text_col).alias("text")) \
         .join(u.where(F.col("status") == "kept").select("doc_id"), "doc_id")
-    within = strip_repeated_lines(survivors)
+    within = mat(strip_repeated_lines(survivors), "within", eager=False)
     boiler = line_dedup(
         within.select("doc_id", F.col("clean_text").alias("text")),
         min_doc_freq=min_doc_freq)

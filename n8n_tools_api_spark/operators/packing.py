@@ -26,14 +26,19 @@ replayable layout):
 Everything is integer arithmetic over an ordered prefix sum, so DuckDB
 replays it exactly (the ``token_pack_manifest`` oracle).
 
-Scale shape: the prefix sum is a global ordered window — Spark plans a
-range-partitioned sort over SLIM (doc_id, n_tokens) rows only (the
-text column is dropped before the window; counting rides the scan).
-That single range exchange is inherent to a total layout: packing IS a
-global order. For corpora where per-shard layouts are acceptable
-(the common practical choice — each shard becomes its own stream),
-pass ``shard_col``: the window keys by shard and the sort
-parallelizes per shard with no global exchange.
+Scale shape: a naive ``Window.partitionBy()`` prefix sum funnels every
+row through ONE task (Spark's "No Partition Defined for Window"
+plan — Exchange SinglePartition). The global layout here runs the
+classic two-pass distributed prefix sum instead
+(:func:`_global_exclusive_prefix`): range-partition the SLIM
+(doc_id, n_tokens) rows on the order key (the text column is dropped
+before any exchange; counting rides the scan), compute each
+partition's running sum in parallel, then add broadcast per-partition
+base offsets (one tiny K-row frame, K = #partitions). Every stage is
+parallel; the only global object is the K-row base table. For corpora
+where per-shard layouts are acceptable (the common practical choice —
+each shard becomes its own stream), pass ``shard_col``: the window
+keys by shard directly.
 """
 
 from __future__ import annotations
@@ -49,6 +54,49 @@ def whitespace_token_count(text_col: Column) -> Column:
         F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+"),
         lambda w: w != "",
     )).cast("bigint")
+
+
+def _global_exclusive_prefix(df: DataFrame, order_cols: list[str],
+                             weight: Column, out_col: str) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``weight`` over the total
+    order ``order_cols`` (all columns ascending; the order must be
+    total — callers tiebreak on a unique id).
+
+    Two-pass scan algorithm (Blelloch): range-partition on the order
+    key so partition i holds keys strictly below partition i+1, run
+    the running sum per partition in parallel, then add each
+    partition's base offset — the sum of all earlier partitions'
+    totals, a K-row broadcast frame (K = shuffle partitions). Replaces
+    the single-task ``Window.partitionBy()`` plan; every wide stage
+    here is parallel and carries slim rows only.
+
+    The range-partitioned frame is cut lazily (localCheckpoint) so the
+    window pass and the per-partition totals see ONE materialization
+    with a pinned partition-id assignment.
+    """
+    spark = df.sparkSession
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 200
+    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+    part = ranged.withColumn("_pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=False)
+    wloc = (Window.partitionBy("_pid").orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = part.groupBy("_pid").agg(F.sum(weight).alias("_ptot"))
+    wbase = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bases = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(wbase), F.lit(0)).alias("_pbase"))
+    return (
+        part.withColumn("_incl", F.sum(weight).over(wloc))
+        .join(F.broadcast(bases), "_pid")
+        .withColumn(out_col, (F.col("_pbase") + F.col("_incl") - weight)
+                    .cast("bigint"))
+        .drop("_pid", "_incl", "_pbase")
+    )
 
 
 def token_pack(docs: DataFrame, block_size: int,
@@ -70,12 +118,16 @@ def token_pack(docs: DataFrame, block_size: int,
     if shard_col:
         slim_cols.insert(1, F.col(shard_col).alias("shard"))
     slim = docs.select(*slim_cols)
-    w = (Window.partitionBy("shard") if shard_col else
-         Window.partitionBy()).orderBy("doc_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # prefix sum INCLUDING this doc's (n_tokens + 1) footprint
-    end_excl = F.sum(F.col("n_tokens") + 1).over(w)
-    start = (end_excl - (F.col("n_tokens") + 1)).alias("start_offset")
+    footprint = F.col("n_tokens") + 1  # tokens plus trailing separator
+    if shard_col:
+        w = Window.partitionBy("shard").orderBy("doc_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        placed = slim.withColumn(
+            "start_offset",
+            (F.sum(footprint).over(w) - footprint).cast("bigint"))
+    else:
+        placed = _global_exclusive_prefix(
+            slim, ["doc_id"], footprint, "start_offset")
     first_block = F.floor(F.col("start_offset") / block_size) \
         .cast("bigint").alias("first_block")
     # last TOKEN position: start + n_tokens - 1; empty docs sit at the
@@ -85,15 +137,13 @@ def token_pack(docs: DataFrame, block_size: int,
         .otherwise(F.col("start_offset"))
     last_block = F.floor(last_pos / block_size).cast("bigint") \
         .alias("last_block")
-    out = (
-        slim.withColumn("start_offset", start)
-        .withColumn("first_block", first_block)
+    return (
+        placed.withColumn("first_block", first_block)
         .withColumn("last_block", last_block)
         .withColumn(
             "n_blocks",
             (F.col("last_block") - F.col("first_block") + 1).cast("bigint"))
     )
-    return out
 
 
 def shard_manifest(docs: DataFrame, n_shards: int, seed: int = 7,
@@ -115,8 +165,9 @@ def shard_manifest(docs: DataFrame, n_shards: int, seed: int = 7,
       tiebreak makes the order total even under an md5 collision);
       ``shard = rank % n_shards`` (round-robin — shard sizes differ
       by at most one), ``pos_in_shard = rank // n_shards``. The
-      single range exchange behind the global window is inherent to
-      a total permutation, exactly like :func:`token_pack`'s layout.
+      permutation runs on the same two-pass distributed prefix sum
+      as :func:`token_pack` (range partition + broadcast bases — no
+      single-task global window).
     * ``hashed``: the scale path — ``shard`` comes straight from the
       key (first 8 hex chars as an integer, mod ``n_shards``; no
       global order), and ``pos_in_shard`` ranks within the shard, so
@@ -137,9 +188,8 @@ def shard_manifest(docs: DataFrame, n_shards: int, seed: int = 7,
     slim = docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        key.alias("skey"))
     if mode == "ranked":
-        w = Window.partitionBy().orderBy("skey", "doc_id")
-        ranked = slim.withColumn(
-            "rank", (F.row_number().over(w) - 1).cast("bigint"))
+        ranked = _global_exclusive_prefix(
+            slim, ["skey", "doc_id"], F.lit(1).cast("bigint"), "rank")
         return ranked.select(
             "doc_id",
             (F.col("rank") % n_shards).cast("bigint").alias("shard"),

@@ -267,3 +267,42 @@ class TestShardManifest:
             shard_manifest(self._df(spark, 3), 0)
         with _pytest.raises(ValueError):
             shard_manifest(self._df(spark, 3), 2, mode="banana")
+
+
+class TestDistributedPrefixSum:
+    """token_pack/shard_manifest global layouts run the two-pass
+    distributed prefix sum (round-5 review: the old
+    Window.partitionBy() form funneled every row through ONE task)."""
+
+    def test_global_window_is_pid_keyed(self, spark):
+        from n8n_tools_api_spark.operators.packing import (
+            shard_manifest, token_pack)
+        df = spark.range(500).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.lit("a b c").alias("text"))
+        for frame in (token_pack(df, 16), shard_manifest(df, 4)):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            # the full-row window must key on the range-partition id …
+            assert "windowspecdefinition(_pid" in plan
+            # … and the only SinglePartition exchange feeds off the
+            # K-row per-partition totals aggregate, never the data
+            for chunk in plan.split("Exchange SinglePartition")[1:]:
+                assert "HashAggregate(keys=[_pid" in chunk[:400]
+
+    def test_matches_naive_single_window(self, spark):
+        from pyspark.sql.window import Window as W
+        from n8n_tools_api_spark.operators.packing import (
+            token_pack, whitespace_token_count)
+        df = spark.range(1000).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.concat(F.lit("w "), F.col("id").cast("string")).alias("text"))
+        w = W.partitionBy().orderBy("doc_id") \
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        naive = df.select(
+            "doc_id", whitespace_token_count(F.col("text")).alias("n")
+        ).withColumn(
+            "start", (F.sum(F.col("n") + 1).over(w) - (F.col("n") + 1))
+            .cast("bigint"))
+        got = {r.doc_id: r.start_offset for r in token_pack(df, 8).collect()}
+        want = {r.doc_id: r.start for r in naive.collect()}
+        assert got == want
