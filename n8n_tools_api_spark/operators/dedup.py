@@ -280,8 +280,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
     candidate-only cut is the scale-safe default meaning of True.
     Construction becomes eager, so it's opt-in — the composed curation
     flow sets it; one-shot small-corpus oracle queries keep the lazy
-    default. ``checkpoint_dir`` upgrades the cut to a reliable parquet
-    round-trip (operators/materialize.py) for cluster runs.
+    default. The cut applies on BOTH paths: with ``candidate_pairs``
+    it materializes the capped + candidate-filtered stream, without
+    them the capped stream. ``checkpoint_dir`` upgrades the cut to a
+    reliable parquet round-trip (operators/materialize.py) for cluster
+    runs, and by itself implies the ``"cand"`` cut.
     """
     from .materialize import RoundMaterializer
 
@@ -300,8 +303,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
     # ~133M-row raw store caused GC/eviction pressure that WORSENED
     # 8-core wall; measured in BENCH round 5)
     mode = ("cand" if checkpoint_shingles is True else checkpoint_shingles)
-    mat = (RoundMaterializer(checkpoint_dir)
-           if mode or checkpoint_dir is not None else None)
+    if checkpoint_dir is not None and not mode:
+        # a reliable dir with no explicit mode means "cut reliably":
+        # allocating a materializer without ever cutting was a silent
+        # no-op (round-5 review finding)
+        mode = "cand"
+    mat = RoundMaterializer(checkpoint_dir) if mode else None
     if mat is not None and mode in ("raw", "both"):
         sh = mat(sh, "shingles")
     n_docs_1row = df.select(F.count("*").alias("n_docs"))
@@ -313,6 +320,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", k: int = 5,
         .select("shingle")
     )
     sh = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
+    if candidate_pairs is None and mat is not None and mode in ("cand",
+                                                                "both"):
+        # exact (no-LSH) path: the capped stream feeds the sizes
+        # aggregate AND the self-join — cut it here, otherwise
+        # checkpoint_shingles=True was a silent no-op on this path
+        # (the only other cut point sits inside the candidate branch)
+        sh = mat(sh, "capped_shingles")
+        mat.release("shingles")
 
     if candidate_pairs is not None:
         # canonicalize orientation: pair_stream enforces doc_a < doc_b,

@@ -160,10 +160,13 @@ def host_link_stats(pages: DataFrame, iterations: int = 2,
                 "_r0",
             )
         )
+        # unique tag per round: the NEXT round's plan references this
+        # round's files — never overwrite a live tag. Local mode cuts
+        # too (lazy localCheckpoint): at production depth (~20+
+        # rounds) an un-cut loop nests every prior round's joins into
+        # one ever-deeper plan (round-5 review finding)
+        ranks = mat(ranks, f"ranks_{_round:03d}", eager=reliable)
         if reliable:
-            # unique tag per round: the NEXT round's plan references
-            # this round's files — never overwrite a live tag
-            ranks = mat(ranks, f"ranks_{_round:03d}")
             mat.release(f"ranks_{_round - 2:03d}")  # ≥2 rounds back only
     return (
         ranks.join(out_deg, "host", "left")
