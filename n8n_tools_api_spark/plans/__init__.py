@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "host_link_stats",
     "web_dedup_keep_list",
     "stream_url_agreement",
+    "quality_classifier",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -99,6 +100,12 @@ _DRIVER_TAIL = [
     # byte-stable; the exact-dup disposition stays driver-exercised
     # through curation_keep_list's exact_dup rows
     "exact_dedup_stats",
+    # displaced by the round-5 quality_classifier addition: r04-green
+    # and byte-stable; its 3-row LSH-vs-exact status rollup derives
+    # entirely from curation_keep_list's chain (in-window) plus the
+    # pytest recall evidence, so rotating it keeps the multimodal
+    # media_frame_samples row inside the 50-row window instead
+    "curation_agreement",
     # displaced by the round-5 line_dedup / shard_manifest / bpe_merges
     # additions: multi-round-green single-table per-row stat rollups —
     # the least informative rows to re-check (product-flow queries like

@@ -4527,6 +4527,208 @@ ORDER BY sel_rank
 """
 
 
+_QCLF_POS_MARK = (" curated encyclopedia citation verified"
+                  " reference archive")
+_QCLF_NEG_MARK = (" clickbait spamword lottery jackpot"
+                  " promo banner")
+
+
+def quality_classifier_q(spark, sf_dir):
+    """MODEL-BASED QUALITY-FILTER ORACLE: the trained-classifier stage
+    of the public canon (CCNet/Llama/DCLM fastText filtering,
+    FineWeb-Edu's learned scorer) as the closed-form NB log-odds model
+    of operators/qualityclf.py, with an honest HELD-OUT evaluation.
+
+    The synthetic documents table is label-free uniform noise (per-lang
+    and per-source word distributions are indistinguishable — verified;
+    a lang-labeled classifier would only overfit sampling noise), so the
+    two classes are PLANTED the way this catalog pins every semantic
+    branch — as deterministic transforms both engines replay
+    identically: 60 ``qpos_`` docs (base text + a curated-marker phrase
+    repeated 1-3× by doc_id) and 60 ``qneg_`` docs (same construction,
+    spam-marker phrase). Training sees only the EVEN-id half of each
+    class; the odd half is held out, sharing the marker DISTRIBUTION
+    but not the training rows — transfer, not memorization. The
+    untouched base corpus (no markers) is scored alongside and sits
+    near the boundary by construction.
+
+    Semantics pinned by operators/qualityclf.py: the shared DSIR
+    hashed unigram+bigram feature space (md5-prefix buckets,
+    hexlen=3 → 4096), per-bucket sixteenth-bit integer log-odds
+    weights via the lm_ppx surprisal quantization (bin-length log2 +
+    interpolated mantissa — no transcendentals anywhere), the
+    baseline-adjusted weight table with the n_grams·w_unseen fold-in,
+    exact BIGINT score sums, decision at threshold 0. Three more
+    planted docs pin the edges: empty text and NULL text (0 grams →
+    score exactly 0 → decision true at threshold 0) and an
+    all-novel-vocab doc (score = n_grams·w_unseen, the pure-baseline
+    path — near 0 here because the planted classes are mass-balanced).
+    Held-out separation (every odd qpos true, every odd qneg false) is
+    pinned by tests/test_qualityclf.py.
+    """
+    from n8n_tools_api_spark.operators.qualityclf import (
+        quality_classifier_scores)
+
+    # single-split parquet would pin the gram-hash pass to one task —
+    # spread it first, like dsir_selection_q; output is layout-invariant
+    docs = _t(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    base = docs.where(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("base").alias("cls"), "text",
+        F.lit(False).alias("is_train"))
+
+    def _classed(lo, hi, cls, marker):
+        reps = "CAST(doc_id % 3 + 1 AS INT)"
+        return docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
+            F.concat(F.lit(cls + "_"), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            F.lit(cls).alias("cls"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.expr(f"repeat('{marker}', {reps})")).alias("text"),
+            (F.col("doc_id") % 2 == 0).alias("is_train"))
+
+    qpos = _classed(0, 60, "qpos", _QCLF_POS_MARK)
+    qneg = _classed(60, 120, "qneg", _QCLF_NEG_MARK)
+    edges = spark.createDataFrame(
+        [("zqclf_empty", "edge", "", False),
+         ("zqclf_null", "edge", None, False),
+         ("zqclf_unseen", "edge", "qzzv1 qzzv2 qzzv3", False)],
+        "doc_id string, cls string, text string, is_train boolean")
+    # five consumers (two training slices, scoring grams, the id
+    # rejoin, the cls rejoin) would each re-execute the union/transform
+    # lineage — cut it once (lazy localCheckpoint, repo convention)
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
+
+    corpus = RoundMaterializer()(
+        base.unionByName(qpos).unionByName(qneg).unionByName(edges),
+        "qclf_corpus", eager=False)
+    pos = corpus.where(F.col("is_train") & (F.col("cls") == "qpos"))
+    neg = corpus.where(F.col("is_train") & (F.col("cls") == "qneg"))
+    rep = quality_classifier_scores(corpus, pos, neg)
+    return (
+        rep.join(corpus.select("doc_id", "cls", "is_train"), "doc_id")
+        .select("doc_id", "cls", (~F.col("is_train")).alias("heldout"),
+                "n_grams", "score_q16", "decision")
+        .orderBy("doc_id")
+    )
+
+
+# Full DuckDB replay: same word split, same shared DSIR unigram+bigram
+# md5-prefix buckets, same Laplace-smoothed class counts on the same
+# train slice, identical sixteenth-bit integer log-odds weights
+# (bin-length log2 + integer shift — the lm_ppx quantization), same
+# baseline adjustment and n_grams·w_unseen fold-in, exact BIGINT
+# score sums, same rank tiebreak.
+QUALITY_CLF_SQL = r"""
+WITH corpus AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'base' AS cls, text,
+         false AS is_train
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'qpos_' || CAST(doc_id AS VARCHAR), 'qpos',
+         COALESCE(text, '') || repeat(
+           ' curated encyclopedia citation verified reference archive',
+           CAST(doc_id % 3 + 1 AS INT)),
+         doc_id % 2 = 0
+  FROM documents WHERE doc_id >= 0 AND doc_id < 60
+  UNION ALL
+  SELECT 'qneg_' || CAST(doc_id AS VARCHAR), 'qneg',
+         COALESCE(text, '') || repeat(
+           ' clickbait spamword lottery jackpot promo banner',
+           CAST(doc_id % 3 + 1 AS INT)),
+         doc_id % 2 = 0
+  FROM documents WHERE doc_id >= 60 AND doc_id < 120
+  UNION ALL SELECT 'zqclf_empty', 'edge', '', false
+  UNION ALL SELECT 'zqclf_null', 'edge', NULL, false
+  UNION ALL SELECT 'zqclf_unseen', 'edge', 'qzzv1 qzzv2 qzzv3', false
+),
+tok AS (
+  SELECT doc_id, cls, is_train,
+         [w for w in regexp_split_to_array(
+            lower(trim(COALESCE(text, ''))), '\s+') if w <> ''] AS ws
+  FROM corpus
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, cls, is_train,
+         [substring(md5('dsir:' || g), 1, 3) for g in
+          list_concat(ws,
+            CASE WHEN len(ws) >= 2
+                 THEN [ws[i] || ' ' || ws[i + 1]
+                       for i in generate_series(1, len(ws) - 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)] AS bs
+  FROM tok
+),
+pcounts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp
+  FROM (SELECT unnest(bs) AS bucket FROM feats
+        WHERE is_train AND cls = 'qpos')
+  GROUP BY bucket
+),
+ncounts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM (SELECT unnest(bs) AS bucket FROM feats
+        WHERE is_train AND cls = 'qneg')
+  GROUP BY bucket
+),
+tots AS (
+  SELECT (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) FROM pcounts) AS ptot,
+         (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) FROM ncounts) AS ntot
+),
+wt AS (
+  SELECT bucket,
+         (16 * (len(bin(nden // nnum)) - 1)
+          + (nden * 16)
+            // (nnum * (CAST(1 AS BIGINT) << (len(bin(nden // nnum)) - 1)))
+          - 16)
+         - (16 * (len(bin(pden // pnum)) - 1)
+            + (pden * 16)
+              // (pnum * (CAST(1 AS BIGINT) << (len(bin(pden // pnum)) - 1)))
+            - 16) AS w_q16
+  FROM (SELECT bucket,
+               CAST(COALESCE(cp, 0) + 1 AS BIGINT) AS pnum,
+               CAST(ptot + 4096 AS BIGINT) AS pden,
+               CAST(COALESCE(cn, 0) + 1 AS BIGINT) AS nnum,
+               CAST(ntot + 4096 AS BIGINT) AS nden
+        FROM pcounts FULL JOIN ncounts USING (bucket), tots)
+),
+base AS (
+  SELECT (16 * (len(bin(nden)) - 1)
+          + (nden * 16) // (CAST(1 AS BIGINT) << (len(bin(nden)) - 1))
+          - 16)
+         - (16 * (len(bin(pden)) - 1)
+            + (pden * 16) // (CAST(1 AS BIGINT) << (len(bin(pden)) - 1))
+            - 16) AS wun
+  FROM (SELECT CAST(ptot + 4096 AS BIGINT) AS pden,
+               CAST(ntot + 4096 AS BIGINT) AS nden FROM tots)
+),
+wadj AS (
+  SELECT bucket, CAST(w_q16 - wun AS BIGINT) AS w_adj
+  FROM wt, base
+  WHERE w_q16 - wun <> 0
+),
+scores AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(w_adj, 0)) AS BIGINT) AS adj
+  FROM (SELECT doc_id, unnest(bs) AS bucket FROM feats) d
+  LEFT JOIN wadj USING (bucket)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT f.doc_id, f.cls, NOT f.is_train AS heldout,
+         CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(adj, 0) + COALESCE(n_grams, 0) * wun AS BIGINT)
+           AS score_q16
+  FROM feats f LEFT JOIN scores s USING (doc_id), base
+)
+SELECT doc_id, cls, heldout, n_grams, score_q16,
+       score_q16 >= 0 AS decision
+FROM rep
+ORDER BY doc_id
+"""
+
+
 def lm_perplexity_buckets_q(spark, sf_dir):
     """CCNET LM-PERPLEXITY ORACLE: per-language hashed-bigram LM
     perplexity scoring with head/middle/tail equal-thirds bucketing
@@ -6085,6 +6287,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "exact_substr_dedup": (exact_substr_dedup_q, EXACT_SUBSTR_SQL),
     "token_pack_manifest": (token_pack_manifest_q, TOKEN_PACK_SQL),
     "dsir_selection": (dsir_selection_q, DSIR_SQL),
+    "quality_classifier": (quality_classifier_q, QUALITY_CLF_SQL),
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),

@@ -1,0 +1,169 @@
+"""NB log-odds quality classifier (operators/qualityclf.py) —
+semantics pins backing the ``quality_classifier`` oracle: an
+independent pure-Python integer replay of the sixteenth-bit weight
+arithmetic, held-out class separation, the edge branches (wordless
+docs, all-unseen vocabulary), the broadcast scale shape, and layout
+invariance."""
+
+import hashlib
+
+import pytest
+
+from n8n_tools_api_spark.operators.qualityclf import (
+    nb_quality_weights, quality_classifier_scores)
+
+HEXLEN = 3
+B = 16 ** HEXLEN
+
+
+def _buckets(text):
+    ws = [w for w in (text or "").lower().split() if w]
+    grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    return [hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:HEXLEN]
+            for g in grams]
+
+
+def _s16(num, den):
+    """Pure-Python twin of lm_ppx.surprisal_q16 (num <= den)."""
+    q = den // num
+    k = q.bit_length() - 1
+    return 16 * k + (den * 16) // (num * (1 << k)) - 16
+
+
+def _ref(docs, pos_texts, neg_texts, threshold=0):
+    """Independent replay of weights + scores with exact integers."""
+    from collections import Counter
+    cp, cn = Counter(), Counter()
+    for t in pos_texts:
+        cp.update(_buckets(t))
+    for t in neg_texts:
+        cn.update(_buckets(t))
+    ptot, ntot = sum(cp.values()), sum(cn.values())
+    wun = _s16(1, ntot + B) - _s16(1, ptot + B)
+
+    def w(b):
+        return (_s16(cn.get(b, 0) + 1, ntot + B)
+                - _s16(cp.get(b, 0) + 1, ptot + B))
+
+    out = {}
+    for d, t in docs.items():
+        bs = _buckets(t)
+        score = sum(w(b) for b in bs)
+        out[d] = (len(bs), score, score >= threshold)
+    return out
+
+
+def _run(spark, docs, pos, neg, **kw):
+    d = spark.createDataFrame(list(docs.items()),
+                              "doc_id string, text string")
+    p = spark.createDataFrame([(x,) for x in pos], "text string")
+    n = spark.createDataFrame([(x,) for x in neg], "text string")
+    return {r["doc_id"]: (r["n_grams"], r["score_q16"], r["decision"])
+            for r in quality_classifier_scores(d, p, n, **kw).collect()}
+
+
+class TestWeightArithmetic:
+    def test_matches_pure_python_replay_exactly(self, spark):
+        docs = {
+            "p1": "good clean prose with citation and reference",
+            "p2": "citation reference archive",
+            "n1": "spam click buy now casino",
+            "n2": "click click spam banner",
+            "mix": "clean prose spam click",
+            "unseen": "qqz1 qqz2 qqz3",
+            "mt": "",
+            "nul": None,
+        }
+        pos = ["good clean prose citation reference",
+               "archive citation verified reference"]
+        neg = ["spam click casino banner", "buy now click spam"]
+        assert _run(spark, docs, pos, neg) == _ref(docs, pos, neg)
+
+    def test_wordless_docs_score_zero(self, spark):
+        out = _run(spark, {"mt": "", "nul": None, "ws": "   "},
+                   ["aa bb"], ["cc dd"])
+        for d in ("mt", "nul", "ws"):
+            assert out[d] == (0, 0, True)  # 0 >= default threshold 0
+
+    def test_all_unseen_doc_scores_n_grams_times_baseline(self, spark):
+        # asymmetric class masses make w_unseen nonzero — the mass gap
+        # must exceed the mantissa quantization step (2^k/16 = 256
+        # grams at den ~4096), so the negative slice carries 279 grams
+        # vs 3: the score of a doc sharing no trained bucket must be
+        # exactly n_grams * wun
+        pos = ["aa bb"]
+        neg = [" ".join(f"x{i}" for i in range(140))]
+        ptot, ntot = 3, 279  # unigrams + bigrams per slice
+        wun = _s16(1, ntot + B) - _s16(1, ptot + B)
+        assert wun != 0
+        out = _run(spark, {"u": "zq1 zq2 zq3"}, pos, neg)
+        assert out["u"] == (5, 5 * wun, 5 * wun >= 0)
+
+    def test_threshold_is_honored(self, spark):
+        docs = {"p": "aa bb", "n": "cc dd"}
+        lo = _run(spark, docs, ["aa bb"], ["cc dd"], threshold_q16=-10**9)
+        hi = _run(spark, docs, ["aa bb"], ["cc dd"], threshold_q16=10**9)
+        assert lo["p"][2] and lo["n"][2]
+        assert not hi["p"][2] and not hi["n"][2]
+
+
+class TestHeldOutSeparation:
+    def test_transfer_to_unseen_docs_of_each_class(self, spark):
+        # train and held-out docs share marker vocabulary but no rows —
+        # the signal must transfer, not be memorized
+        noise = ["table row batch key", "scan filter merge sort",
+                 "query window group value", "join hash part line"]
+        mk_p = lambda i: f"{noise[i % 4]} citation reference archive v{i}"
+        mk_n = lambda i: f"{noise[(i + 1) % 4]} spam click banner w{i}"
+        pos = [mk_p(i) for i in range(0, 8, 2)]
+        neg = [mk_n(i) for i in range(0, 8, 2)]
+        held = {f"hp{i}": mk_p(i) for i in range(1, 8, 2)}
+        held.update({f"hn{i}": mk_n(i) for i in range(1, 8, 2)})
+        out = _run(spark, held, pos, neg)
+        for d in held:
+            if d.startswith("hp"):
+                assert out[d][1] > 0 and out[d][2], (d, out[d])
+            else:
+                assert out[d][1] < 0 and not out[d][2], (d, out[d])
+
+
+class TestScaleShape:
+    def test_weight_lookup_is_broadcast(self, spark):
+        d = spark.createDataFrame([("d", "aa bb")],
+                                  "doc_id string, text string")
+        p = spark.createDataFrame([("aa",)], "text string")
+        n = spark.createDataFrame([("bb",)], "text string")
+        plan = quality_classifier_scores(d, p, n) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+
+    def test_weight_table_is_bounded_and_adjusted(self, spark):
+        p = spark.createDataFrame([("aa bb cc",)], "text string")
+        n = spark.createDataFrame([("aa dd",)], "text string")
+        weights, baseline = nb_quality_weights(p, n)
+        rows = weights.collect()
+        assert 0 < len(rows) <= 2 * B
+        assert all(r["w_adj_q16"] != 0 for r in rows)
+        assert len(baseline.collect()) == 1
+
+    def test_bucket_hexlen_validation(self, spark):
+        d = spark.createDataFrame([("d", "aa")], "doc_id string, text string")
+        with pytest.raises(ValueError):
+            quality_classifier_scores(d, d, d, bucket_hexlen=0)
+        with pytest.raises(ValueError):
+            quality_classifier_scores(d, d, d, bucket_hexlen=9)
+
+
+class TestLayoutInvariance:
+    def test_partitioning_does_not_change_scores(self, spark):
+        docs = {f"d{i}": f"word{i % 7} citation word{i % 5} spam w{i}"
+                for i in range(40)}
+        d = spark.createDataFrame(list(docs.items()),
+                                  "doc_id string, text string")
+        p = spark.createDataFrame([("citation reference",)], "text string")
+        n = spark.createDataFrame([("spam click",)], "text string")
+        a = sorted(map(tuple, quality_classifier_scores(
+            d.repartition(1), p, n).collect()))
+        b = sorted(map(tuple, quality_classifier_scores(
+            d.repartition(7), p.repartition(2), n).collect()))
+        assert a == b
