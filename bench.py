@@ -98,7 +98,8 @@ def main() -> None:
         "host_cap_keep_list", "benchmark_decontam", "url_blocklist",
         "mixture_sample_report", "web_curation_keep_list",
         "exact_substr_dedup", "token_pack_manifest", "dsir_selection",
-        "quality_classifier", "lm_perplexity_buckets", "ccnet_keep_list",
+        "quality_classifier", "classifier_curation_keep_list",
+        "lm_perplexity_buckets", "ccnet_keep_list",
         "line_dedup", "shard_manifest", "bpe_merges",
         "bpe_encoded_tokens", "bpe_pack_manifest", "dataset_card",
         "url_canonical_dedup", "repeated_line_strip", "host_link_stats",

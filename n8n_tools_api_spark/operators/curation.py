@@ -179,6 +179,73 @@ def curation_with_quality(docs: DataFrame, use_lsh: bool = False,
         .unionByName(rejected)
 
 
+def classifier_curation_keep_list(docs: DataFrame, positive: DataFrame,
+                                  negative: DataFrame, *,
+                                  use_lsh: bool = False,
+                                  threshold: float = 0.5, k: int = 5,
+                                  threshold_q16: int = 0,
+                                  checkpoint_dir: str | None = None,
+                                  ) -> DataFrame:
+    """Dedup-then-classify curation — the DCLM / FineWeb-Edu stage
+    order: the full curation chain (extract-clean → exact dedup →
+    near-dup components) runs FIRST, and the trained quality
+    classifier (operators/qualityclf.py, the NB log-odds model) scores
+    only the surviving canonicals as the FINAL selection stage —
+    DCLM-Baseline applies its fastText filter after heuristics+dedup,
+    and FineWeb-Edu scores the already-deduplicated FineWeb. Scoring
+    after dedup means the expensive model pass runs once per unique
+    document, not once per copy.
+
+    ``positive`` / ``negative`` are the labeled training frames
+    (text column ``text``), typically a curated reference slice vs a
+    raw-crawl sample — the classifier trains in the same plan (two
+    bounded-key aggregations; see qualityclf.py).
+
+    Output: (doc_id, status, canonical, score_q16) — statuses
+    ``exact_dup`` / ``near_dup`` (from the dedup chain, score NULL:
+    duplicates are never scored) and ``kept`` /
+    ``rejected_classifier`` (scored survivors; canonical NULL for
+    rejections, like the other rejected_* statuses). A near_dup's
+    canonical may itself be classifier-rejected — the public pipelines
+    accept this (selection happens after clustering; the cluster
+    pointer records provenance, not survival).
+    """
+    from n8n_tools_api_spark.operators.materialize import RoundMaterializer
+    from n8n_tools_api_spark.operators.qualityclf import (
+        quality_classifier_scores)
+
+    mat = RoundMaterializer(checkpoint_dir)
+    # the curation disposition feeds the kept-branch split AND the
+    # pass-through union — cut it once or the whole dedup chain
+    # (components loop included) executes per consumer
+    cur = mat(curation_keep_list(docs, use_lsh=use_lsh,
+                                 threshold=threshold, k=k,
+                                 checkpoint_dir=checkpoint_dir),
+              "classifier_cur", eager=False)
+    kept = cur.where(F.col("status") == "kept") \
+        .select("doc_id", "canonical")
+    kept_docs = kept.select("doc_id").join(
+        docs.select("doc_id", "text"), "doc_id")
+    scored = quality_classifier_scores(
+        kept_docs, positive, negative, threshold_q16=threshold_q16)
+    kept_out = (
+        kept.join(scored.select("doc_id", "score_q16", "decision"),
+                  "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("decision"), F.lit("kept"))
+            .otherwise(F.lit("rejected_classifier")).alias("status"),
+            F.when(F.col("decision"), F.col("canonical"))
+            .otherwise(F.lit(None).cast("string")).alias("canonical"),
+            "score_q16",
+        )
+    )
+    others = cur.where(F.col("status") != "kept").select(
+        "doc_id", "status", "canonical",
+        F.lit(None).cast("bigint").alias("score_q16"))
+    return kept_out.unionByName(others)
+
+
 def c4_curation_keep_list(docs: DataFrame, use_lsh: bool = False,
                           threshold: float = 0.5, k: int = 5,
                           checkpoint_dir: str | None = None) -> DataFrame:

@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "web_dedup_keep_list",
     "stream_url_agreement",
     "quality_classifier",
+    "classifier_curation_keep_list",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -106,6 +107,12 @@ _DRIVER_TAIL = [
     # pytest recall evidence, so rotating it keeps the multimodal
     # media_frame_samples row inside the 50-row window instead
     "curation_agreement",
+    # displaced by the round-5 classifier_curation_keep_list addition:
+    # r04-green and byte-stable; the recursive-CTE components closure
+    # stays driver-exercised inside curation_keep_list AND both
+    # composed curation oracles (all in-window), so this standalone
+    # components query is the redundant row to rotate
+    "doc_chain_components",
     # displaced by the round-5 line_dedup / shard_manifest / bpe_merges
     # additions: multi-round-green single-table per-row stat rollups —
     # the least informative rows to re-check (product-flow queries like

@@ -3124,6 +3124,190 @@ CURATION_QUALITY_SQL = (
 )
 
 
+def _qclf_cte(train_src: str, pos_cond: str, neg_cond: str,
+              score_src: str) -> str:
+    """NB log-odds classifier replay chain (operators/qualityclf.py):
+    tokenize → shared DSIR gram buckets → Laplace class counts over
+    the ``train_src`` rows matching ``pos_cond`` / ``neg_cond`` →
+    sixteenth-bit integer log-odds weights (the lm_ppx quantization) →
+    baseline-adjusted broadcast table → exact BIGINT scores for every
+    ``score_src`` row, surfaced as ``qrep(doc_id, n_grams,
+    score_q16)``. Both sources must provide (doc_id, text)."""
+    grams = r"""[substring(md5('dsir:' || g), 1, 3) for g in
+          list_concat(ws,
+            CASE WHEN len(ws) >= 2
+                 THEN [ws[i] || ' ' || ws[i + 1]
+                       for i in generate_series(1, len(ws) - 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)]"""
+    tok = (r"[w for w in regexp_split_to_array("
+           r"lower(trim(COALESCE(text, ''))), '\s+') if w <> '']")
+    s16 = ("(16 * (len(bin({d} // {n})) - 1)"
+           " + ({d} * 16)"
+           " // ({n} * (CAST(1 AS BIGINT) << (len(bin({d} // {n})) - 1)))"
+           " - 16)")
+    w_expr = (s16.format(n="nnum", d="nden") + "\n         - "
+              + s16.format(n="pnum", d="pden"))
+    wun_expr = (s16.format(n="CAST(1 AS BIGINT)", d="nden") + "\n         - "
+                + s16.format(n="CAST(1 AS BIGINT)", d="pden"))
+    return rf"""qfeats_t AS MATERIALIZED (
+  SELECT t.*, {grams} AS bs
+  FROM (SELECT s.*, {tok} AS ws FROM {train_src} s) t
+),
+qfeats_s AS MATERIALIZED (
+  SELECT doc_id, {grams} AS bs
+  FROM (SELECT doc_id, {tok} AS ws FROM {score_src}) t
+),
+qpcounts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp
+  FROM (SELECT unnest(bs) AS bucket FROM qfeats_t WHERE {pos_cond})
+  GROUP BY bucket
+),
+qncounts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM (SELECT unnest(bs) AS bucket FROM qfeats_t WHERE {neg_cond})
+  GROUP BY bucket
+),
+qtots AS (
+  SELECT (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) FROM qpcounts)
+           AS ptot,
+         (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) FROM qncounts)
+           AS ntot
+),
+qwt AS (
+  SELECT bucket,
+         {w_expr} AS w_q16
+  FROM (SELECT bucket,
+               CAST(COALESCE(cp, 0) + 1 AS BIGINT) AS pnum,
+               CAST(ptot + 4096 AS BIGINT) AS pden,
+               CAST(COALESCE(cn, 0) + 1 AS BIGINT) AS nnum,
+               CAST(ntot + 4096 AS BIGINT) AS nden
+        FROM qpcounts FULL JOIN qncounts USING (bucket), qtots)
+),
+qbase AS (
+  SELECT {wun_expr} AS wun
+  FROM (SELECT CAST(ptot + 4096 AS BIGINT) AS pden,
+               CAST(ntot + 4096 AS BIGINT) AS nden FROM qtots)
+),
+qwadj AS (
+  SELECT bucket, CAST(w_q16 - wun AS BIGINT) AS w_adj
+  FROM qwt, qbase
+  WHERE w_q16 - wun <> 0
+),
+qscores AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(w_adj, 0)) AS BIGINT) AS adj
+  FROM (SELECT doc_id, unnest(bs) AS bucket FROM qfeats_s) d
+  LEFT JOIN qwadj USING (bucket)
+  GROUP BY doc_id
+),
+qrep AS (
+  SELECT f.doc_id,
+         CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(adj, 0) + COALESCE(n_grams, 0) * wun AS BIGINT)
+           AS score_q16
+  FROM qfeats_s f LEFT JOIN qscores s USING (doc_id), qbase
+)"""
+
+
+def classifier_curation_keep_list_q(spark, sf_dir):
+    """DEDUP-THEN-CLASSIFY CURATION ORACLE — the DCLM / FineWeb-Edu
+    stage order (operators/curation.py::classifier_curation_keep_list):
+    the unchanged oracle-checked curation chain runs first, then the
+    NB log-odds classifier (operators/qualityclf.py) scores only the
+    surviving canonicals as the final selection stage, so the model
+    pass costs one score per UNIQUE document. Corpus = the shared
+    curation corpus (documents<300 ∪ 40 copy_ ∪ 25 mut_) plus 30
+    ``qgood_`` and 30 ``qbad_`` marker-augmented docs built from ids
+    300-359 (outside the base slice); training is the even-id marker
+    classes of the ``quality_classifier`` oracle — held out from the
+    scored corpus entirely. Every disposition is exact: every SCORED
+    qbad_ doc lands in ``rejected_classifier`` (NULL canonical, scores
+    ≤ −2900) and every scored qgood_ in ``kept`` (scores ≥ +900); the
+    handful of planted docs whose synthetic base text near-dups
+    another doc keep their dedup status with NULL score — dedup runs
+    FIRST, so the classifier never sees a duplicate (the point of the
+    stage order); borderline base docs fall deterministically on
+    whichever side of threshold 0 their noise vocabulary puts them —
+    replayed bit-for-bit by chaining the curation replay into the
+    classifier replay in ONE DuckDB query."""
+    from n8n_tools_api_spark.operators.curation import (
+        classifier_curation_keep_list)
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = "CAST(doc_id % 3 + 1 AS INT)"
+
+    def marked(lo, hi, prefix, marker, even_only=False):
+        out = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        if even_only:
+            out = out.where(F.col("doc_id") % 2 == 0)
+        return out.select(
+            F.concat(F.lit(prefix), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.expr(f"repeat('{marker}', {reps})")).alias("text"))
+
+    corpus = (_curation_corpus(spark, sf_dir)
+              .unionByName(marked(300, 330, "qgood_", _QCLF_POS_MARK))
+              .unionByName(marked(330, 360, "qbad_", _QCLF_NEG_MARK)))
+    pos = marked(0, 60, "t_", _QCLF_POS_MARK, even_only=True)
+    neg = marked(60, 120, "t_", _QCLF_NEG_MARK, even_only=True)
+    return classifier_curation_keep_list(corpus, pos, neg,
+                                         use_lsh=False).orderBy("doc_id")
+
+
+_CLF_CUR_CORPUS_CTE = _CURATION_CORPUS_CTE.replace(
+    "corpus AS (", "ccorpus AS (", 1)[:-1] + r"""
+  UNION ALL
+  SELECT 'qgood_' || CAST(doc_id AS VARCHAR),
+         COALESCE(text, '') || repeat(
+           ' curated encyclopedia citation verified reference archive',
+           CAST(doc_id % 3 + 1 AS INT))
+  FROM documents WHERE doc_id >= 300 AND doc_id < 330
+  UNION ALL
+  SELECT 'qbad_' || CAST(doc_id AS VARCHAR),
+         COALESCE(text, '') || repeat(
+           ' clickbait spamword lottery jackpot promo banner',
+           CAST(doc_id % 3 + 1 AS INT))
+  FROM documents WHERE doc_id >= 330 AND doc_id < 360
+)"""
+
+_CLF_CUR_TRAIN_CTE = r"""qtrain AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'p' AS cls,
+         COALESCE(text, '') || repeat(
+           ' curated encyclopedia citation verified reference archive',
+           CAST(doc_id % 3 + 1 AS INT)) AS text
+  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'n',
+         COALESCE(text, '') || repeat(
+           ' clickbait spamword lottery jackpot promo banner',
+           CAST(doc_id % 3 + 1 AS INT))
+  FROM documents WHERE doc_id >= 60 AND doc_id < 120 AND doc_id % 2 = 0
+)"""
+
+CLASSIFIER_CURATION_SQL = (
+    "WITH RECURSIVE " + _CLF_CUR_CORPUS_CTE + ",\n"
+    + _curation_tail("ccorpus") + ",\n"
+    + _CLF_CUR_TRAIN_CTE + ",\n"
+    + "keptdocs AS (\n"
+      "  SELECT f.doc_id, c.text FROM final f\n"
+      "  JOIN ccorpus c USING (doc_id) WHERE f.status = 'kept'\n"
+      "),\n"
+    + _qclf_cte("qtrain", "cls = 'p'", "cls = 'n'", "keptdocs")
+    + "\nSELECT f.doc_id,\n"
+      "       CASE WHEN f.status = 'kept' THEN\n"
+      "         CASE WHEN r.score_q16 >= 0 THEN 'kept'\n"
+      "              ELSE 'rejected_classifier' END\n"
+      "       ELSE f.status END AS status,\n"
+      "       CASE WHEN f.status = 'kept' AND r.score_q16 < 0\n"
+      "            THEN CAST(NULL AS VARCHAR)\n"
+      "            ELSE f.canonical END AS canonical,\n"
+      "       r.score_q16\n"
+      "FROM final f LEFT JOIN qrep r USING (doc_id)\n"
+      "ORDER BY doc_id\n"
+)
+
+
 def c4_curation_keep_list_q(spark, sf_dir):
     """C4-FIRST CURATION ORACLE (the full public-pipeline stage order:
     C4 clean → Gopher gate → exact/near dedup, every downstream stage
@@ -4644,87 +4828,11 @@ WITH corpus AS MATERIALIZED (
   UNION ALL SELECT 'zqclf_null', 'edge', NULL, false
   UNION ALL SELECT 'zqclf_unseen', 'edge', 'qzzv1 qzzv2 qzzv3', false
 ),
-tok AS (
-  SELECT doc_id, cls, is_train,
-         [w for w in regexp_split_to_array(
-            lower(trim(COALESCE(text, ''))), '\s+') if w <> ''] AS ws
-  FROM corpus
-),
-feats AS MATERIALIZED (
-  SELECT doc_id, cls, is_train,
-         [substring(md5('dsir:' || g), 1, 3) for g in
-          list_concat(ws,
-            CASE WHEN len(ws) >= 2
-                 THEN [ws[i] || ' ' || ws[i + 1]
-                       for i in generate_series(1, len(ws) - 1)]
-                 ELSE CAST([] AS VARCHAR[]) END)] AS bs
-  FROM tok
-),
-pcounts AS (
-  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp
-  FROM (SELECT unnest(bs) AS bucket FROM feats
-        WHERE is_train AND cls = 'qpos')
-  GROUP BY bucket
-),
-ncounts AS (
-  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn
-  FROM (SELECT unnest(bs) AS bucket FROM feats
-        WHERE is_train AND cls = 'qneg')
-  GROUP BY bucket
-),
-tots AS (
-  SELECT (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) FROM pcounts) AS ptot,
-         (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) FROM ncounts) AS ntot
-),
-wt AS (
-  SELECT bucket,
-         (16 * (len(bin(nden // nnum)) - 1)
-          + (nden * 16)
-            // (nnum * (CAST(1 AS BIGINT) << (len(bin(nden // nnum)) - 1)))
-          - 16)
-         - (16 * (len(bin(pden // pnum)) - 1)
-            + (pden * 16)
-              // (pnum * (CAST(1 AS BIGINT) << (len(bin(pden // pnum)) - 1)))
-            - 16) AS w_q16
-  FROM (SELECT bucket,
-               CAST(COALESCE(cp, 0) + 1 AS BIGINT) AS pnum,
-               CAST(ptot + 4096 AS BIGINT) AS pden,
-               CAST(COALESCE(cn, 0) + 1 AS BIGINT) AS nnum,
-               CAST(ntot + 4096 AS BIGINT) AS nden
-        FROM pcounts FULL JOIN ncounts USING (bucket), tots)
-),
-base AS (
-  SELECT (16 * (len(bin(nden)) - 1)
-          + (nden * 16) // (CAST(1 AS BIGINT) << (len(bin(nden)) - 1))
-          - 16)
-         - (16 * (len(bin(pden)) - 1)
-            + (pden * 16) // (CAST(1 AS BIGINT) << (len(bin(pden)) - 1))
-            - 16) AS wun
-  FROM (SELECT CAST(ptot + 4096 AS BIGINT) AS pden,
-               CAST(ntot + 4096 AS BIGINT) AS nden FROM tots)
-),
-wadj AS (
-  SELECT bucket, CAST(w_q16 - wun AS BIGINT) AS w_adj
-  FROM wt, base
-  WHERE w_q16 - wun <> 0
-),
-scores AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-         CAST(SUM(COALESCE(w_adj, 0)) AS BIGINT) AS adj
-  FROM (SELECT doc_id, unnest(bs) AS bucket FROM feats) d
-  LEFT JOIN wadj USING (bucket)
-  GROUP BY doc_id
-),
-rep AS (
-  SELECT f.doc_id, f.cls, NOT f.is_train AS heldout,
-         CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
-         CAST(COALESCE(adj, 0) + COALESCE(n_grams, 0) * wun AS BIGINT)
-           AS score_q16
-  FROM feats f LEFT JOIN scores s USING (doc_id), base
-)
-SELECT doc_id, cls, heldout, n_grams, score_q16,
-       score_q16 >= 0 AS decision
-FROM rep
+""" + _qclf_cte("corpus", "is_train AND cls = 'qpos'",
+                "is_train AND cls = 'qneg'", "corpus") + r"""
+SELECT c.doc_id, c.cls, NOT c.is_train AS heldout, r.n_grams,
+       r.score_q16, r.score_q16 >= 0 AS decision
+FROM qrep r JOIN corpus c USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -6288,6 +6396,8 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "token_pack_manifest": (token_pack_manifest_q, TOKEN_PACK_SQL),
     "dsir_selection": (dsir_selection_q, DSIR_SQL),
     "quality_classifier": (quality_classifier_q, QUALITY_CLF_SQL),
+    "classifier_curation_keep_list": (classifier_curation_keep_list_q,
+                                      CLASSIFIER_CURATION_SQL),
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),

@@ -154,6 +154,41 @@ class TestScaleShape:
             quality_classifier_scores(d, d, d, bucket_hexlen=9)
 
 
+class TestComposedClassifierCuration:
+    def test_dedup_then_classify_stage_order(self, spark):
+        """DCLM/FineWeb-Edu order (curation.py::
+        classifier_curation_keep_list): dedup first, classifier scores
+        only surviving canonicals — duplicates carry NULL scores."""
+        from n8n_tools_api_spark.operators.curation import (
+            classifier_curation_keep_list)
+
+        docs = spark.createDataFrame([
+            ("a1", "unique prose about tables and rows citation verified"),
+            ("a2", "unique prose about tables and rows citation verified"),
+            ("b1", "spam click banner lottery jackpot promo offer now"),
+            ("c1", "completely different text on scans and filters"
+                   " citation verified reference"),
+        ], "doc_id string, text string")
+        pos = spark.createDataFrame(
+            [("good clean citation verified reference",)], "text string")
+        neg = spark.createDataFrame(
+            [("spam click banner lottery jackpot promo",)], "text string")
+        out = {r["doc_id"]: r for r in
+               classifier_curation_keep_list(docs, pos, neg).collect()}
+        # a2 is an exact dup of a1: dedup status, never scored
+        assert out["a2"]["status"] == "exact_dup"
+        assert out["a2"]["canonical"] == "a1"
+        assert out["a2"]["score_q16"] is None
+        # a1/c1 carry positive markers -> kept with positive scores
+        for d in ("a1", "c1"):
+            assert out[d]["status"] == "kept" and out[d]["score_q16"] > 0
+            assert out[d]["canonical"] == d
+        # b1 is pure negative-class vocabulary -> rejected, NULL canon
+        assert out["b1"]["status"] == "rejected_classifier"
+        assert out["b1"]["score_q16"] < 0
+        assert out["b1"]["canonical"] is None
+
+
 class TestLayoutInvariance:
     def test_partitioning_does_not_change_scores(self, spark):
         docs = {f"d{i}": f"word{i % 7} citation word{i % 5} spam w{i}"
