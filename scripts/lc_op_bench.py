@@ -257,6 +257,34 @@ elif OP == "bpe":
     rollup = {"merges": len(merges),
               "last_merged": merges[-1]["merged"] if merges else None,
               "pair_count_total": int(sum(m["pair_count"] for m in merges))}
+elif OP == "qclf":
+    # trained-classifier scoring at corpus scale: the training slices
+    # are FIXED (the r0_ replica split by base-id parity, with planted
+    # class markers) while the scored corpus grows with REPLICAS — the
+    # operator's documented contract (training counts are bounded by
+    # the fixed labeled set, so the ≤4096-row weight table broadcasts
+    # at ANY corpus scale); the measured load is the scoring path:
+    # gram explode → broadcast weight join → one doc-keyed BIGINT sum
+    from n8n_tools_api_spark.operators.qualityclf import (
+        quality_classifier_scores)
+
+    base_id = F.split(F.col("doc_id"), "_").getItem(1).cast("bigint")
+    r0 = corpus.where(F.col("doc_id").startswith("r0_"))
+    pos = r0.where(base_id % 2 == 0).select(
+        F.concat(F.col("text"),
+                 F.lit(" curated encyclopedia citation verified"))
+        .alias("text"))
+    neg = r0.where(base_id % 2 == 1).select(
+        F.concat(F.col("text"),
+                 F.lit(" clickbait spamword lottery jackpot"))
+        .alias("text"))
+    out = quality_classifier_scores(corpus, pos, neg)
+    rollup = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_grams").cast("bigint").alias("grams"),
+        F.sum("score_q16").cast("bigint").alias("score_total"),
+        F.sum(F.col("decision").cast("int")).cast("bigint").alias("kept"),
+    ).collect()[0].asDict()
 else:
     raise SystemExit(f"unknown op {OP}")
 
