@@ -79,6 +79,22 @@ class TestWeightArithmetic:
         neg = ["spam click casino banner", "buy now click spam"]
         assert _run(spark, docs, pos, neg) == _ref(docs, pos, neg)
 
+    def test_matches_replay_on_seeded_random_corpus(self, spark):
+        """One Spark job over 200 seeded-random docs vs the pure-Python
+        replay — the fuzz-shaped pin (ASCII corpus: the replay twin's
+        str.split agrees with the operator's \\s+ split there)."""
+        import random
+
+        rng = random.Random(271828)
+        vocab = [f"w{i}" for i in range(60)] + ["good", "bad", "spam",
+                                                "citation", "promo"]
+        mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+        docs = {f"d{i}": mk(rng.randrange(0, 40)) for i in range(200)}
+        docs["dnull"] = None
+        pos = [mk(30) + " citation good" for _ in range(6)]
+        neg = [mk(30) + " spam promo" for _ in range(6)]
+        assert _run(spark, docs, pos, neg) == _ref(docs, pos, neg)
+
     def test_wordless_docs_score_zero(self, spark):
         out = _run(spark, {"mt": "", "nul": None, "ws": "   "},
                    ["aa bb"], ["cc dd"])
