@@ -93,7 +93,8 @@ def main() -> None:
         "events_daily", "doc_token_counts", "doc_quality_scores",
         "exact_dedup_stats", "cosine_topk", "formatted_fingerprints",
         "curation_keep_list", "lineage_health", "url_landing",
-        "gopher_word_stats", "c4_line_filter", "boilerplate_strip",
+        "gopher_word_stats", "c4_line_filter", "c4_badwords",
+        "boilerplate_strip",
         "c4_curation_keep_list", "c4_span_dedup", "pii_redaction",
         "host_cap_keep_list", "benchmark_decontam", "url_blocklist",
         "mixture_sample_report", "web_curation_keep_list",

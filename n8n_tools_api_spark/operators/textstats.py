@@ -332,6 +332,79 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def c4_badwords_filter(docs: DataFrame, badwords: list[str],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """C4's bad-words page filter (Raffel et al. 2020 §2.2: "removed
+    any page that contained any word on the 'List of Dirty, Naughty,
+    Obscene or Otherwise Bad Words'") — the one §2.2 rule
+    :func:`c4_line_filter` doesn't carry, completing the C4 page-gate
+    set. The list itself is a caller-supplied parameter (production
+    passes the published LDNOOBW list for the corpus languages; the
+    oracle fixture uses a neutral demo list).
+
+    Pinned semantics (replayed by the ``c4_badwords`` oracle):
+
+    * page tokens are the repo-standard lowercase ``\\s+`` split with
+      leading/trailing non-alphanumerics stripped per token (so
+      ``Badterm!`` matches ``badterm`` — C4 matches on word
+      boundaries, not whitespace islands) and empty strips dropped;
+    * a SINGLE-WORD entry hits when it equals any stripped token
+      (token equality — a list word never fires inside a longer word,
+      the boundary rule);
+    * a MULTI-WORD entry (contains a space) hits when it appears as a
+      consecutive token run — matched against the space-joined
+      stripped-token stream with sentinel spaces;
+    * the page is rejected on ANY hit; ``matched`` reports the
+      lexicographically smallest matching entry so ties are
+      deterministic; NULL/empty text keeps trivially.
+
+    Output: (doc_id, matched, c4_badwords_keep) — one row per input
+    document.
+
+    Scale shape: the list is small and curated (the published list is
+    a few hundred entries/language), so both match forms are per-row
+    literal-array expressions — ``array_intersect`` against the token
+    array for words, ``contains`` on the joined stream for phrases.
+    Zero shuffle; the whole gate rides the scan at 100 TB, exactly
+    like the other C4/Gopher page rules.
+    """
+    from pyspark.sql import functions as F
+
+    entries = sorted(set(badwords))
+    if not entries:
+        raise ValueError("badwords must be a non-empty list")
+    words = [e for e in entries if " " not in e]
+    phrases = [e for e in entries if " " in e]
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col),
+                                              F.lit("")))), r"\s+"),
+            lambda w: F.regexp_replace(
+                w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+        ),
+        lambda w: w != "",
+    )
+    stream = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    hit_arrays = []
+    if words:
+        hit_arrays.append(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+    if phrases:
+        hit_arrays.append(F.filter(
+            F.array(*[F.lit(p) for p in phrases]),
+            lambda p: F.contains(
+                stream, F.concat(F.lit(" "), p, F.lit(" "))),
+        ))
+    hits = F.sort_array(F.concat(*hit_arrays) if len(hit_arrays) > 1
+                        else hit_arrays[0])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(hits) > 0, hits[0]).alias("matched"),
+        (F.size(hits) == 0).alias("c4_badwords_keep"),
+    )
+
+
 def dataset_card(docs: DataFrame, short_doc_tokens: int = 32,
                  text_col: str = "text",
                  dims: tuple[str, ...] = ("lang", "source")) -> DataFrame:

@@ -51,6 +51,11 @@ _DRIVER_PRIORITY = [
     "stream_url_agreement",
     "quality_classifier",
     "classifier_curation_keep_list",
+    # c4_badwords entering the window rotates media_frame_samples out
+    # (r04-green, byte-stable; media_resize_plan keeps the multimodal
+    # family driver-exercised) — a first row for a new oracle beats a
+    # fifth row for a stable one
+    "c4_badwords",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",

@@ -3209,6 +3209,83 @@ qrep AS (
 )"""
 
 
+def c4_badwords_q(spark, sf_dir):
+    """C4 BAD-WORDS PAGE-FILTER ORACLE (operators/textstats.py::
+    c4_badwords_filter — Raffel et al. 2020 §2.2's LDNOOBW page gate,
+    the one §2.2 rule c4_line_filter doesn't carry): documents<300
+    plus planted branch docs under a neutral three-entry demo list
+    (production passes the published list): a punctuation-adjacent
+    word hit (`Badterm!`), a multi-word phrase hit, a superstring
+    near-miss that must NOT fire (token equality is the boundary
+    rule), the list word in final position, non-adjacent phrase words
+    (kept), an upper-case variant, and NULL/empty text (kept
+    trivially). `matched` reports the lexicographically smallest
+    entry. DuckDB replays the strip → token-equality → sentinel-space
+    phrase scan closed-form."""
+    from n8n_tools_api_spark.operators.textstats import c4_badwords_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    base = docs.where(F.col("doc_id").cast("bigint") < 300)
+    planted = spark.createDataFrame([
+        ("bw_punct", "contains Badterm! mid sentence"),
+        ("bw_phrase", "the zoo zebra phrase spans tokens"),
+        ("bw_super", "nearmiss superbadterm inside a longer word"),
+        ("bw_final", "ends with badterm"),
+        ("bw_split", "zoo alone and zebra alone but not adjacent zoo"),
+        ("bw_upper", "SHOUTED OBSCENITY IN CAPS"),
+        ("bw_both", "obscenity before badterm picks the smaller"),
+        ("bw_null", None),
+        ("bw_empty", ""),
+    ], "doc_id string, text string")
+    return c4_badwords_filter(
+        base.unionByName(planted),
+        ["badterm", "obscenity", "zoo zebra"]).orderBy("doc_id")
+
+
+C4_BADWORDS_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents WHERE doc_id < 300
+  UNION ALL SELECT 'bw_punct', 'contains Badterm! mid sentence'
+  UNION ALL SELECT 'bw_phrase', 'the zoo zebra phrase spans tokens'
+  UNION ALL SELECT 'bw_super',
+                   'nearmiss superbadterm inside a longer word'
+  UNION ALL SELECT 'bw_final', 'ends with badterm'
+  UNION ALL SELECT 'bw_split',
+                   'zoo alone and zebra alone but not adjacent zoo'
+  UNION ALL SELECT 'bw_upper', 'SHOUTED OBSCENITY IN CAPS'
+  UNION ALL SELECT 'bw_both', 'obscenity before badterm picks the smaller'
+  UNION ALL SELECT 'bw_null', NULL
+  UNION ALL SELECT 'bw_empty', ''
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                   '\s+'),
+             x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+           x -> x <> '') AS toks
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id,
+         list_sort(list_concat(
+           list_intersect(toks, ['badterm', 'obscenity']),
+           list_filter(['zoo zebra'],
+             p -> contains(' ' || array_to_string(toks, ' ') || ' ',
+                           ' ' || p || ' ')))) AS h
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN len(h) > 0 THEN h[1] END AS matched,
+       len(h) = 0 AS c4_badwords_keep
+FROM hits
+ORDER BY doc_id
+"""
+
+
 def classifier_curation_keep_list_q(spark, sf_dir):
     """DEDUP-THEN-CLASSIFY CURATION ORACLE — the DCLM / FineWeb-Edu
     stage order (operators/curation.py::classifier_curation_keep_list):
@@ -6398,6 +6475,7 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "quality_classifier": (quality_classifier_q, QUALITY_CLF_SQL),
     "classifier_curation_keep_list": (classifier_curation_keep_list_q,
                                       CLASSIFIER_CURATION_SQL),
+    "c4_badwords": (c4_badwords_q, C4_BADWORDS_SQL),
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),

@@ -2,6 +2,7 @@
 hand-computed fractions + gate behavior. The full DuckDB replay is the
 gopher_repetition oracle (test_queries_oracle.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from n8n_tools_api_spark.operators.textstats import gopher_repetition
@@ -133,6 +134,64 @@ class TestC4LineFilter:
         assert out["ok"]["c4_keep"] is True
         e = out["empty"]
         assert e["clean_text"] == "" and e["c4_keep"] is False
+
+
+class TestC4BadwordsFilter:
+    """C4 §2.2 LDNOOBW page gate (textstats.py::c4_badwords_filter) —
+    the ``c4_badwords`` oracle's semantics pins."""
+
+    def _run(self, spark, rows, badwords):
+        from n8n_tools_api_spark.operators.textstats import (
+            c4_badwords_filter)
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r["doc_id"]: (r["matched"], r["c4_badwords_keep"])
+                for r in c4_badwords_filter(df, badwords).collect()}
+
+    def test_word_boundaries_phrases_and_edges(self, spark):
+        out = self._run(spark, [
+            ("clean", "a clean page about spark tables."),
+            ("punct", "mid sentence (Badterm!) appears"),
+            ("superstring", "superbadterm never fires on tokens"),
+            ("phrase", "the zoo zebra phrase spans tokens"),
+            ("phrase_split", "zoo here and zebra there stay apart"),
+            ("tie", "obscenity then badterm reports the smaller"),
+            ("nul", None),
+            ("mt", "   "),
+        ], ["badterm", "obscenity", "zoo zebra"])
+        assert out["clean"] == (None, True)
+        assert out["punct"] == ("badterm", False)
+        assert out["superstring"] == (None, True)
+        assert out["phrase"] == ("zoo zebra", False)
+        assert out["phrase_split"] == (None, True)
+        assert out["tie"] == ("badterm", False)
+        assert out["nul"] == (None, True)
+        assert out["mt"] == (None, True)
+
+    def test_empty_list_raises(self, spark):
+        from n8n_tools_api_spark.operators.textstats import (
+            c4_badwords_filter)
+
+        df = spark.createDataFrame([("d", "x")],
+                                   "doc_id string, text string")
+        with pytest.raises(ValueError):
+            c4_badwords_filter(df, [])
+
+    def test_plan_is_narrow(self, spark):
+        from n8n_tools_api_spark.operators.textstats import (
+            c4_badwords_filter)
+
+        df = spark.createDataFrame([("d", "some text here")],
+                                   "doc_id string, text string")
+        plan = c4_badwords_filter(df, ["badterm", "zoo zebra"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+    def test_words_only_and_phrases_only_lists(self, spark):
+        out = self._run(spark, [("d", "has badterm only")], ["badterm"])
+        assert out["d"] == ("badterm", False)
+        out = self._run(spark, [("d", "a zoo zebra page")], ["zoo zebra"])
+        assert out["d"] == ("zoo zebra", False)
 
 
 class TestC4SpanDedup:
