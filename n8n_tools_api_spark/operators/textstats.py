@@ -371,7 +371,10 @@ def c4_badwords_filter(docs: DataFrame, badwords: list[str],
     """
     from pyspark.sql import functions as F
 
-    entries = sorted(set(badwords))
+    # the match surface is lowercase (tokens are folded), so fold the
+    # list too — an upper-case entry would otherwise silently never
+    # match; ``matched`` therefore always reports the lowercase form
+    entries = sorted({e.lower() for e in badwords})
     if not entries:
         raise ValueError("badwords must be a non-empty list")
     words = [e for e in entries if " " not in e]

@@ -187,6 +187,12 @@ class TestC4BadwordsFilter:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
 
+    def test_list_entries_are_case_folded(self, spark):
+        # the match surface is lowercase; an upper-case LIST entry
+        # must still match (and report its lowercase form)
+        out = self._run(spark, [("d", "has badterm here")], ["BadTerm"])
+        assert out["d"] == ("badterm", False)
+
     def test_words_only_and_phrases_only_lists(self, spark):
         out = self._run(spark, [("d", "has badterm only")], ["badterm"])
         assert out["d"] == ("badterm", False)
