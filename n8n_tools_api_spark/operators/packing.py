@@ -202,3 +202,52 @@ def shard_manifest(docs: DataFrame, n_shards: int, seed: int = 7,
     return sharded.select(
         "doc_id", "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos_in_shard"))
+
+
+def write_training_shards(docs: DataFrame, path: str, n_shards: int,
+                          seed: int = 7, mode: str = "hashed",
+                          id_col: str = "doc_id",
+                          fmt: str = "json") -> DataFrame:
+    """Materialize the corpus as deterministic training-shard FILES —
+    the sink that closes the curation → :func:`shard_manifest` →
+    on-disk loop every public pipeline ends with (The Pile, FineWeb,
+    and Dolma all ship shuffled shard files; training loaders consume
+    shards, not a table).
+
+    Layout: ``path/shard=K/part-*`` (``json`` lines or ``parquet``),
+    each shard directory holding its documents in ``pos_in_shard``
+    order with the manifest columns embedded, so a loader can stream a
+    shard sequentially AND verify the order it received. File CONTENT
+    is deterministic (the engine-portable manifest order — identical
+    for any input layout, pinned by tests); file NAMES carry Spark
+    task ids, which is the framework's contract, not a data path
+    (CLAUDE.md's no-uuid rule governs data).
+
+    Ordering guarantee: rows arrive at the writer already sorted by
+    (shard, pos_in_shard), which satisfies the writer's required
+    partition-column ordering, so Spark does not re-sort (a re-sort on
+    the shard key alone is not stable and would scramble positions —
+    the layout-invariance test would catch a regression here).
+
+    ``shard`` and ``pos_in_shard`` are reserved output names; input
+    columns with those names are overwritten. Returns the manifest
+    (doc_id, shard, pos_in_shard) for lineage/resume bookkeeping.
+    """
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"fmt must be 'json' or 'parquet', got {fmt!r}")
+    man = shard_manifest(docs, n_shards, seed=seed, id_col=id_col,
+                         mode=mode)
+    rows = (
+        docs.drop("shard", "pos_in_shard")
+        .withColumn("__sid", F.col(id_col).cast("string"))
+        .join(man.withColumnRenamed("doc_id", "__sid"), "__sid")
+        .drop("__sid")
+    )
+    ordered = (rows.repartition(n_shards, F.col("shard"))
+               .sortWithinPartitions("shard", "pos_in_shard"))
+    writer = ordered.write.mode("overwrite").partitionBy("shard")
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+    return man

@@ -306,3 +306,71 @@ class TestDistributedPrefixSum:
         got = {r.doc_id: r.start_offset for r in token_pack(df, 8).collect()}
         want = {r.doc_id: r.start for r in naive.collect()}
         assert got == want
+
+
+class TestWriteTrainingShards:
+    """Shard-file sink (packing.py::write_training_shards): content
+    determinism, per-file order, manifest round-trip."""
+
+    def _docs(self, spark, n=40):
+        return spark.createDataFrame(
+            [(f"d{i}", f"text of document {i}") for i in range(n)],
+            "doc_id string, text string")
+
+    def _read_shards(self, path):
+        import json as _json
+        import os
+
+        out = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("shard="):
+                continue
+            k = int(d.split("=")[1])
+            rows = []
+            for f in sorted(os.listdir(os.path.join(path, d))):
+                if f.startswith("part-") and f.endswith(".json"):
+                    with open(os.path.join(path, d, f)) as fh:
+                        rows += [_json.loads(l) for l in fh if l.strip()]
+            out[k] = rows
+        return out
+
+    def test_files_hold_shards_in_position_order(self, spark, tmp_path):
+        from n8n_tools_api_spark.operators.packing import (
+            shard_manifest, write_training_shards)
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "shards")
+        man = {r.doc_id: (r.shard, r.pos_in_shard)
+               for r in write_training_shards(docs, path, 4).collect()}
+        want = {r.doc_id: (r.shard, r.pos_in_shard)
+                for r in shard_manifest(docs, 4, mode="hashed").collect()}
+        assert man == want
+        shards = self._read_shards(path)
+        assert sum(len(v) for v in shards.values()) == 40
+        for k, rows in shards.items():
+            assert [r["pos_in_shard"] for r in rows] == list(range(len(rows)))
+            for r in rows:
+                assert man[r["doc_id"]] == (k, r["pos_in_shard"])
+                assert r["text"] == f"text of document {r['doc_id'][1:]}"
+
+    def test_content_is_layout_invariant(self, spark, tmp_path):
+        from n8n_tools_api_spark.operators.packing import (
+            write_training_shards)
+
+        docs = self._docs(spark)
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        write_training_shards(docs.repartition(1), p1, 4)
+        write_training_shards(docs.repartition(7), p2, 4)
+        a, b = self._read_shards(p1), self._read_shards(p2)
+        key = lambda rows: [(r["doc_id"], r["pos_in_shard"], r["text"])
+                            for r in rows]
+        assert {k: key(v) for k, v in a.items()} \
+            == {k: key(v) for k, v in b.items()}
+
+    def test_fmt_validation(self, spark, tmp_path):
+        from n8n_tools_api_spark.operators.packing import (
+            write_training_shards)
+
+        with pytest.raises(ValueError):
+            write_training_shards(self._docs(spark),
+                                  str(tmp_path / "x"), 4, fmt="csv")
