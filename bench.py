@@ -104,7 +104,7 @@ def main() -> None:
         "line_dedup", "shard_manifest", "bpe_merges",
         "bpe_encoded_tokens", "bpe_pack_manifest", "dataset_card",
         "url_canonical_dedup", "repeated_line_strip", "host_link_stats",
-        "web_dedup_keep_list",
+        "web_dedup_keep_list", "corpus_expectations",
     ):
         fn, _ = ORACLE_QUERIES[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())

@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     # family driver-exercised) — a first row for a new oracle beats a
     # fifth row for a stable one
     "c4_badwords",
+    "corpus_expectations",
     # green in r03, rotated out of r04's window
     "pdf_split_plans",
     "pdf_page_plans",
@@ -75,7 +76,8 @@ _DRIVER_PRIORITY = [
 _DRIVER_TAIL = [
     # displaced by the round-5 url_canonical_dedup addition: a
     # multi-round-green per-row stat rollup whose language semantics
-    # stay driver-exercised through language_id and lang_stats
+    # stay driver-exercised through formatted_fingerprints' language
+    # branch (in-window; language_id and lang_stats carry r01-r04 rows)
     "doc_language_scores",
     # displaced by the round-5 repeated_line_strip addition: the A2
     # preview arithmetic stays driver-exercised through pdf_batch_info
@@ -118,6 +120,13 @@ _DRIVER_TAIL = [
     # composed curation oracles (all in-window), so this standalone
     # components query is the redundant row to rotate
     "doc_chain_components",
+    # displaced by the round-5 corpus_expectations addition: r04-green
+    # and byte-stable; the A6 language semantics keep TWO in-window
+    # driver replays (formatted_fingerprints' language/confidence md5
+    # branch and the curation chains' detector stage), making this
+    # agreement rollup the most redundant in-window row — rotating it
+    # keeps media_resize_plan (multimodal) inside the window
+    "language_id",
     # displaced by the round-5 line_dedup / shard_manifest / bpe_merges
     # additions: multi-round-green single-table per-row stat rollups —
     # the least informative rows to re-check (product-flow queries like

@@ -3286,6 +3286,79 @@ ORDER BY doc_id
 """
 
 
+def corpus_expectations_q(spark, sf_dir):
+    """DATA-VALIDATION ORACLE (operators/expectations.py::
+    corpus_expectations — the Deequ / Great-Expectations "unit tests
+    for data" gate between curation and training): documents<300 plus
+    two planted rows — a DUPLICATE doc_id with NULL text/lang and a
+    negative n_chars, and a second NULL-text row — evaluated under a
+    six-constraint suite hitting both verdicts of every constraint
+    kind: row_count_min passes, completeness_min('text', .995) fails
+    at 300/302, completeness_min('lang', 1.0) fails at 301/302,
+    uniqueness(doc_id) fails on the planted dup, min_value(n_chars, 0)
+    fails on the planted −5, max_value passes. Every metric is a
+    double from exact BIGINT counts (fractions divide two exact
+    counts — IEEE-identical on both engines); DuckDB replays the one
+    aggregation pass and the literal unpivot closed-form."""
+    from n8n_tools_api_spark.operators.expectations import (
+        corpus_expectations)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"))
+    base = docs.where(F.col("doc_id").cast("bigint") < 300)
+    planted = spark.createDataFrame(
+        [("7", None, None, -5), ("xp_null", None, "en", 42)],
+        "doc_id string, text string, lang string, n_chars bigint")
+    return corpus_expectations(base.unionByName(planted), [
+        ("row_count_min", None, 250),
+        ("completeness_min", "text", 0.995),
+        ("completeness_min", "lang", 1.0),
+        ("uniqueness", "doc_id", None),
+        ("min_value", "n_chars", 0),
+        ("max_value", "n_chars", 100000),
+    ]).orderBy("check_id")
+
+
+CORPUS_EXPECTATIONS_SQL = r"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id < 300
+  UNION ALL SELECT '7', NULL, NULL, -5
+  UNION ALL SELECT 'xp_null', NULL, 'en', 42
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(COUNT(text) AS BIGINT) AS nn_text,
+         CAST(COUNT(lang) AS BIGINT) AS nn_lang,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dc_id,
+         CAST(MIN(n_chars) AS DOUBLE) AS mn_n,
+         CAST(MAX(n_chars) AS DOUBLE) AS mx_n
+  FROM corpus
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS check_id,
+         'row_count_min' AS "constraint", CAST(NULL AS VARCHAR) AS "column",
+         CAST(total AS DOUBLE) AS metric, CAST(250 AS DOUBLE) AS threshold,
+         CAST(total AS DOUBLE) >= 250 AS passed FROM m
+  UNION ALL SELECT 1, 'completeness_min', 'text',
+         CAST(nn_text AS DOUBLE) / CAST(total AS DOUBLE), 0.995,
+         CAST(nn_text AS DOUBLE) / CAST(total AS DOUBLE) >= 0.995 FROM m
+  UNION ALL SELECT 2, 'completeness_min', 'lang',
+         CAST(nn_lang AS DOUBLE) / CAST(total AS DOUBLE), 1.0,
+         CAST(nn_lang AS DOUBLE) / CAST(total AS DOUBLE) >= 1.0 FROM m
+  UNION ALL SELECT 3, 'uniqueness', 'doc_id',
+         CAST(dc_id AS DOUBLE) / CAST(total AS DOUBLE), 1.0,
+         CAST(dc_id AS DOUBLE) / CAST(total AS DOUBLE) = 1.0 FROM m
+  UNION ALL SELECT 4, 'min_value', 'n_chars', mn_n, 0.0, mn_n >= 0.0 FROM m
+  UNION ALL SELECT 5, 'max_value', 'n_chars', mx_n, 100000.0,
+         mx_n <= 100000.0 FROM m
+)
+ORDER BY check_id
+"""
+
+
 def classifier_curation_keep_list_q(spark, sf_dir):
     """DEDUP-THEN-CLASSIFY CURATION ORACLE — the DCLM / FineWeb-Edu
     stage order (operators/curation.py::classifier_curation_keep_list):
@@ -6476,6 +6549,8 @@ ORACLE_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] 
     "classifier_curation_keep_list": (classifier_curation_keep_list_q,
                                       CLASSIFIER_CURATION_SQL),
     "c4_badwords": (c4_badwords_q, C4_BADWORDS_SQL),
+    "corpus_expectations": (corpus_expectations_q,
+                            CORPUS_EXPECTATIONS_SQL),
     "lm_perplexity_buckets": (lm_perplexity_buckets_q, LM_PPX_SQL),
     "ccnet_keep_list": (ccnet_keep_list_q, CCNET_KEEP_SQL),
     "line_dedup": (line_dedup_q, LINE_DEDUP_SQL),
