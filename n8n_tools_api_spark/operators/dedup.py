@@ -436,7 +436,9 @@ def _hamming_filter(pairs: DataFrame, max_distance: int) -> DataFrame:
 
 
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
-                          max_distance: int = 3, id_col: str = "doc_id") -> DataFrame:
+                          max_distance: int = 3, id_col: str = "doc_id",
+                          checkpoint_keyed: bool = False,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_distance.
 
     Blocking is the Manku/Jain/Das Sarma construction (WWW'07, the
@@ -481,6 +483,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         "doc_id", "simhash",
         F.explode(F.array(*keys)).alias("c"),
     ).select("doc_id", "simhash", "c.combo_idx", "c.key_val")
+    if checkpoint_keyed or checkpoint_dir is not None:
+        # the self-join below evaluates its input subtree once per side:
+        # without a materialization the token explode + 64 bit-vote
+        # aggregation (the expensive stage) runs TWICE (same pattern as
+        # minhash_lsh_candidates' checkpoint_banded; measured ~2x the
+        # whole query at sf1.0). Opt-in for the same reasons documented
+        # there — loops should own their materialization.
+        from .materialize import RoundMaterializer
+
+        keyed = RoundMaterializer(checkpoint_dir)(keyed, "simhash_keyed")
     pairs = (
         keyed.alias("a").join(keyed.alias("b"), ["combo_idx", "key_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -73,18 +73,57 @@ def ivf_assign(emb: DataFrame, nlist: int = 16,
 def assign_to_centroids(emb: DataFrame, centroids: DataFrame,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid set,
-    score every vector, keep the argmax per vector (ties broken by
-    cluster_id). The shared join of ivf_assign and every Lloyd
-    reassignment round."""
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "_score", cosine_similarity_col(F.col(vec_col), F.col("centroid"))
+    """Nearest-centroid assignment: broadcast the (tiny) centroid set
+    PACKED into one array row, score every vector against all centroids
+    inside a single projection, and pick the argmax with an array sort
+    — ties broken by cluster_id. The shared join of ivf_assign and
+    every Lloyd reassignment round.
+
+    This is a ZERO-shuffle narrow map. The previous formulation
+    (crossJoin to nlist rows per vector + row_number window) shuffled
+    nlist fat (vector, centroid) rows per vector just to take a
+    per-vector max — guide §2.4 "remove shuffles outright": the argmax
+    of a broadcastable set needs no exchange at all. Scores are the
+    identical ``cosine_similarity_col`` expression, and the comparator
+    reproduces the old window order (score DESC with NaN first and
+    NULLs last, cluster_id ASC tiebreak), so assignments are
+    bit-identical — pinned by tests/test_operators.py.
+    """
+    packed = F.broadcast(centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster_id", "centroid")))
+        .alias("_cents")))
+
+    def _cmp(left, right):
+        ls, rs = left["s"], right["s"]
+        lc, rc = left["cluster_id"], right["cluster_id"]
+        by_cid = (F.when(lc < rc, F.lit(-1)).when(lc > rc, F.lit(1))
+                  .otherwise(F.lit(0)))
+        return (
+            F.when(ls.isNull() & rs.isNull(), by_cid)
+            .when(ls.isNull(), F.lit(1))     # desc => NULLS LAST
+            .when(rs.isNull(), F.lit(-1))
+            .when(ls > rs, F.lit(-1))        # NaN compares greatest, as
+            .when(ls < rs, F.lit(1))         # in the window's sort order
+            .otherwise(by_cid)
+        )
+
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    cosine_similarity_col(F.col(vec_col), c["centroid"])
+                    .alias("s"),
+                    c["cluster_id"].alias("cluster_id"),
+                ),
+            ),
+            _cmp,
+        ),
+        1,
     )
-    pick = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(pick))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_score", "centroid")
+    return emb.crossJoin(packed).select(
+        *[F.col(c) for c in emb.columns],
+        best["cluster_id"].alias("cluster_id"),
     )
 
 
@@ -276,8 +315,10 @@ def semdedup_keep_list(emb: DataFrame, threshold: float = 0.95,
 
     Scale shape: centroids stay broadcastable (nlist rows); the only
     quadratic work is per-cluster and bounded by design; components
-    run over slim id pairs. Vectors never ride a key-keyed shuffle —
-    the self-join keys on cluster_id only.
+    run over slim id pairs. Vectors DO ride the (cluster_id, salt)-keyed
+    self-join exchange — an inherent cost of the paper's within-cluster
+    design — but each vector crosses it a bounded number of times
+    (1 + n_salt replicas), never per-pair.
     """
     from .dedup import near_dup_components
     from .materialize import RoundMaterializer
@@ -288,25 +329,100 @@ def semdedup_keep_list(emb: DataFrame, threshold: float = 0.95,
     centroids = kmeans_refine(emb, nlist, iters, id_col, vec_col,
                               checkpoint_dir)
     assigned = assign_to_centroids(emb, centroids, id_col, vec_col)
+    # per-vector norm computed ONCE here: the quadratic stage below then
+    # pays one dot product per pair instead of three (cosine(a,b) =
+    # dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — the two self-dots depend
+    # only on their own row). sqrt-then-multiply is the exact
+    # expression order of cosine_similarity_col, so every pair's cosine
+    # is bit-identical to the inline form.
     scored = mat(
         assigned.join(F.broadcast(centroids), "cluster_id")
         .select(F.col(id_col).alias("vec_id"), "cluster_id",
                 F.col(vec_col).alias("_v"),
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
                 cosine_similarity_col(F.col(vec_col), F.col("centroid"))
                 .alias("centroid_sim")),
         "semdedup_scored")
-    a = scored.select(F.col("vec_id").alias("doc_a"), "cluster_id",
-                      F.col("_v").alias("_va"))
-    b = scored.select(F.col("vec_id").alias("doc_b"), "cluster_id",
-                      F.col("_v").alias("_vb"))
-    pairs = (a.join(b, "cluster_id")
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .where(cosine_similarity_col(F.col("_va"), F.col("_vb"))
-                    >= threshold)
-             .select("doc_a", "doc_b"))
+    # Per-cluster pairwise stage, two passes (guide §1.2/§4.2 — decide
+    # with a cheap vectorized proxy, confirm with the exact expression):
+    #
+    # 1. CANDIDATE GENERATION — blocked numpy float64 matmul per
+    #    cluster (Arrow-batched applyInPandas, BLAS inside) emits the
+    #    ordered id pairs whose numpy cosine clears ``threshold`` minus
+    #    a 1e-6 margin. numpy and the JVM fold differ only in float
+    #    summation order (≈1e-14 relative on any realistic dim), so
+    #    this is a guaranteed SUPERSET of the true pair set; NaN
+    #    cosines are force-included because Spark orders NaN greatest,
+    #    making ``NaN >= threshold`` TRUE on the exact path.
+    # 2. EXACT VERIFY — the surviving (tiny) candidate list is joined
+    #    back to the vectors and filtered with the SAME JVM expression
+    #    the one-pass formulation used, so the final pair set is
+    #    bit-identical to the all-JVM join.
+    #
+    # The one-pass interpreted zip_with/aggregate dot measured ~10 us
+    # per pair (no whole-stage codegen inside higher-order lambdas) —
+    # 16 s for 20k vectors / nlist=8 on 32 cores, quadratically worse
+    # as clusters grow; the matmul pass does the same flops in BLAS.
+    # Parallelism = one task per cluster, the paper's unit of bounded
+    # quadratic work (raise nlist to shrink both memory and tasks).
+    id_type = scored.schema["vec_id"].dataType.simpleString()
+    thr = float(threshold)
+
+    def _cand_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"doc_a": pdf["vec_id"][:0],
+                                 "doc_b": pdf["vec_id"][:0]})
+        vs = pdf["_v"].tolist()
+        dim = next((len(v) for v in vs if v is not None), 0)
+        if dim == 0:
+            return pd.DataFrame({"doc_a": pdf["vec_id"][:0],
+                                 "doc_b": pdf["vec_id"][:0]})
+        V = np.array([v if v is not None else [np.nan] * dim for v in vs],
+                     dtype=np.float64)
+        nrm = pdf["_n"].to_numpy(dtype=np.float64, na_value=np.nan)
+        ids = pdf["vec_id"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        margin = thr - 1e-6
+        blk = 2048
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, n, blk):
+                cos = (V[i0:i0 + blk] @ V.T) / (
+                    nrm[i0:i0 + blk, None] * nrm[None, :])
+                hit = (cos >= margin) | np.isnan(cos)
+                np.fill_diagonal(hit[:, i0:i0 + blk], False)
+                r, c = np.nonzero(hit)
+                out_a.append(ids[r + i0])
+                out_b.append(ids[c])
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    cand = mat(
+        scored.select("cluster_id", "vec_id", "_v", "_n")
+        .groupBy("cluster_id")
+        .applyInPandas(_cand_fn, f"doc_a {id_type}, doc_b {id_type}"),
+        "semdedup_cands")
+    va = scored.select(F.col("vec_id").alias("doc_a"),
+                       F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = scored.select(F.col("vec_id").alias("doc_b"),
+                       F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    # materialized ONCE: near_dup_components unions both orientations of
+    # its input, which would otherwise execute this subtree twice
+    pairs = mat(
+        va.join(F.broadcast(cand), "doc_a")
+        .join(vb, "doc_b")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((_dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))) >= threshold)
+        .select("doc_a", "doc_b"),
+        "semdedup_pairs")
     comp = near_dup_components(pairs, checkpoint_dir=checkpoint_dir) \
         .withColumnRenamed("doc_id", "vec_id")
-    ranked = (scored.drop("_v").join(comp, "vec_id", "left"))
+    ranked = (scored.drop("_v", "_n").join(comp, "vec_id", "left"))
     pick = Window.partitionBy("component").orderBy(
         F.asc("centroid_sim"), F.asc("vec_id"))
     canon = (ranked.where(F.col("component").isNotNull())

@@ -26,7 +26,9 @@ from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from n8n_tools_api_spark.sources.tables import read_sf_table
+
+    return read_sf_table(spark, sf_dir, name)
 
 
 # exact-decimal money sum: deterministic under any partitioning
@@ -4776,9 +4778,11 @@ def dsir_selection_q(spark, sf_dir):
     # spread it across the session's parallelism first. Production
     # corpora arrive as many splits and skip this. Output is
     # layout-invariant (pinned by tests/test_dsir.py).
+    # (_t's read helper already rescues parallelism from single-split
+    # parquet layouts — the old query-level round-robin repartition here
+    # paid a second full-text shuffle plus its sort-before-repartition)
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text") \
-        .repartition(spark.sparkContext.defaultParallelism)
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
     target = docs.where(F.col("lang") == "de")
     rep = dsir_importance(docs, target, bucket_hexlen=3)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -4903,10 +4907,8 @@ def quality_classifier_q(spark, sf_dir):
     from n8n_tools_api_spark.operators.qualityclf import (
         quality_classifier_scores)
 
-    # single-split parquet would pin the gram-hash pass to one task —
-    # spread it first, like dsir_selection_q; output is layout-invariant
-    docs = _t(spark, sf_dir, "documents") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    # _t's read helper spreads single-split parquet layouts already
+    docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") < 300).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("base").alias("cls"), "text",
@@ -5012,12 +5014,9 @@ def lm_perplexity_buckets_q(spark, sf_dir):
     from n8n_tools_api_spark.operators.sampling import (
         sample_key, sample_threshold_hex)
 
-    # single-split parquet would pin the bigram explode (the expensive
-    # stage) to one task — spread it first, like dsir_selection_q; the
-    # output is layout-invariant (every downstream op is keyed)
+    # _t's read helper spreads single-split parquet layouts already
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text") \
-        .repartition(spark.sparkContext.defaultParallelism)
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
     planted = spark.createDataFrame(
         [("mtppx_1", "en", ""), ("nulppx_1", "en", None),
          ("oneppx_1", "en", "solitary"),
@@ -5128,8 +5127,7 @@ def ccnet_keep_list_q(spark, sf_dir):
     from n8n_tools_api_spark.operators.lm_ppx import ccnet_keep_list
 
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text") \
-        .repartition(spark.sparkContext.defaultParallelism)
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
     planted = spark.createDataFrame(
         [("mtppx_1", ""), ("nulppx_1", None), ("oneppx_1", "solitary"),
          ("numppx_1", "123 456 789 101 112")],

@@ -12,6 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from n8n_tools_api_spark.sources.tables import read_sf_table as _rt
+
 
 def extract_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extraction over the sf documents table wrapped as
@@ -53,7 +55,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from n8n_tools_api_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _rt(spark, sf_dir, "documents") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     mutated = (
         docs.where(F.col("doc_id").cast("bigint") < 25)
@@ -75,7 +77,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance near-dups over the same mutated corpus."""
     from n8n_tools_api_spark.operators.dedup import simhash_hamming_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _rt(spark, sf_dir, "documents") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     mutated = (
         docs.where(F.col("doc_id").cast("bigint") < 25)
@@ -83,7 +85,10 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substring(text, 1, cast(length(text) * 0.95 as int))").alias("text"))
     )
     corpus = docs.unionByName(mutated)
-    return simhash_hamming_pairs(corpus, max_distance=3).orderBy("doc_a", "doc_b")
+    # checkpoint_keyed: one signature pass, not one per self-join side
+    return simhash_hamming_pairs(corpus, max_distance=3,
+                                 checkpoint_keyed=True) \
+        .orderBy("doc_a", "doc_b")
 
 
 
@@ -94,7 +99,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n8n_tools_api_spark.operators.dedup import (
         duplicate_clusters, minhash_lsh_candidates)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _rt(spark, sf_dir, "documents") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     mutated = (
         docs.where(F.col("doc_id").cast("bigint") < 25)
@@ -118,7 +123,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbors for vec_id=0."""
     from n8n_tools_api_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rt(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_vec_id=0, k=10, nlist=16, nprobe=4)
 
 
@@ -129,7 +134,7 @@ def ann_recall_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0 at nprobe=nlist by construction)."""
     from n8n_tools_api_spark.operators.similarity import ann_recall_at_k
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rt(spark, sf_dir, "embeddings")
     return ann_recall_at_k(emb, n_queries=8, k=10, nlist=16,
                            nprobes=(1, 4, 16))
 
@@ -148,7 +153,7 @@ def ann_kmeans_refined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_refine,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rt(spark, sf_dir, "embeddings")
     centroids = kmeans_refine(emb, nlist=16, iters=2)
     return (
         assign_to_centroids(emb, centroids)
@@ -203,7 +208,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n8n_tools_api_spark.operators.dedup import embedding_near_dups
 
     dim = EMBEDDING_DIM
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+    emb = _rt(spark, sf_dir, "embeddings").withColumn(
         # in-plan guard: a fixture with a different dim fails loudly at
         # execution instead of silently mis-slicing the hyperplanes
         "embedding",
@@ -236,13 +241,13 @@ def stream_neardup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n8n_tools_api_spark.streaming import neardup_prefilter_batch_twin
 
     base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _rt(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 200).select(
             F.col("doc_id").cast("string").alias("doc_id"),
             (base_ts + F.make_interval(mins=F.col("doc_id").cast("int")))
             .alias("event_time"),
             "text")
-    dups = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    dups = _rt(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 50).select(
             F.concat(F.lit("dup_"), F.col("doc_id").cast("string"))
             .alias("doc_id"),
@@ -276,20 +281,20 @@ def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base_ts = F.to_timestamp(F.lit("2024-06-01 12:00:00"))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _rt(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 200).select(
             F.col("doc_id").cast("string").alias("doc_id"),
             (base_ts + F.make_interval(mins=F.col("doc_id").cast("int")))
             .alias("event_time"),
             "text")
-    dups = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    dups = _rt(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 50).select(
             F.concat(F.lit("dup_"), F.col("doc_id").cast("string"))
             .alias("doc_id"),
             (base_ts + F.make_interval(mins=(F.col("doc_id") + 500).cast("int")))
             .alias("event_time"),
             "text")
-    muts = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    muts = _rt(spark, sf_dir, "documents") \
         .where(F.col("doc_id") < 25).select(
             F.concat(F.lit("mut_"), F.col("doc_id").cast("string"))
             .alias("doc_id"),
@@ -373,7 +378,7 @@ def semdedup_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_similarity.py instead."""
     from n8n_tools_api_spark.operators.similarity import semdedup_keep_list
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rt(spark, sf_dir, "embeddings")
     jit = emb.where(F.col("vec_id") < 40).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda v: v * F.lit(1.0005))

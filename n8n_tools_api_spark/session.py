@@ -39,6 +39,26 @@ def iceberg_configs(warehouse: str) -> dict[str, str]:
     }
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode JVM heap to the machine.
+
+    In ``local[k]`` the driver JVM hosts every executor thread: k
+    concurrent tasks share ONE heap, so the old fixed 8g default gave
+    32 tasks ~256 MB of execution memory each — sort/aggregate buffers
+    spilled and GC dominated CPU-dense stages (guide §5). A quarter of
+    physical RAM, clamped to [8g, 32g], keeps headroom for Python
+    workers and concurrent sessions. On a real cluster this value only
+    sizes the (data-free) driver and ``spark.executor.memory`` governs
+    the workers; override via $SPARK_DRIVER_MEMORY either way.
+    """
+    try:
+        phys_gib = (os.sysconf("SC_PHYS_PAGES")
+                    * os.sysconf("SC_PAGE_SIZE")) // (1 << 30)
+    except (ValueError, OSError):
+        return "8g"
+    return f"{min(32, max(8, phys_gib // 4))}g"
+
+
 def get_spark(
     app_name: str = "n8n-tools-api-spark",
     master: str | None = None,
@@ -67,7 +87,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -267,7 +267,9 @@ def interleaved_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFr
     one-span document, so driver oracles can cross-check span-level
     aggregates against the same corpus (FIXTURES.md §1 note).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from n8n_tools_api_spark.sources.tables import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
     return docs.select(
         F.concat(F.lit("tdoc_"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("doc_id"),
         F.array(

@@ -16,6 +16,70 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# (rows, row_groups) per path — footer metadata is immutable testdata,
+# so one driver-side read per path per process is enough
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """Total (rows, row_groups) of a parquet file or directory."""
+    if path in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[path]
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet")))
+    rows = groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+    _LAYOUT_CACHE[path] = (rows, max(groups, 1))
+    return _LAYOUT_CACHE[path]
+
+
+def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read an sf table, rescuing scan parallelism from unsplittable
+    input layouts (guide §2.5 "input skew": one huge single-row-group
+    file serializes every downstream narrow operator onto one core —
+    parquet's split granularity is the ROW GROUP, so maxPartitionBytes
+    cannot help).
+
+    The driver-generated tables are written as ONE row group per ~1M
+    rows (sf1.0 documents = 50k rows = 1 row group → every per-doc
+    regex/shingle/signature map ran single-threaded, measured 10-18 s
+    per query at sf1.0). When the footer says the file provides fewer
+    splits than the session's cores AND the rows-per-split are large
+    enough that post-scan work dominates, repartition by the table's
+    key column (hash — deterministic, no sort, unlike round-robin).
+    Results are layout-invariant (COVERAGE.md cross-layout sweep);
+    only placement changes. On a production corpus (many ~row-group
+    sized files) the condition never fires and the read stays plain.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name not in ("documents", "embeddings"):
+        # relational tables feed scan+aggregate/join queries where
+        # map-side partial aggregation already shrinks the data before
+        # any exchange — an up-front repartition measured as a net LOSS
+        # there (events_daily 0.4 s -> 1.4 s, q1 0.5 s -> 0.9 s at
+        # sf1.0). Only the text/vector tables, whose consumers do
+        # heavy per-row work (regex/shingle/gram/cosine), benefit.
+        return df
+    try:
+        rows, groups = _parquet_layout(path)
+    except Exception:
+        return df  # exotic layout: fall back to the plain read
+    cores = spark.sparkContext.defaultParallelism
+    if groups < cores and rows // groups >= 1500:
+        n = min(cores * 2, max(rows // 1000, cores))
+        df = df.repartition(n, df[df.columns[0]])
+    return df
+
+
 def write_bucketed(df, name: str, key: str, n_buckets: int = 16) -> None:
     """Persist a table bucketed+sorted on its join key (SURVEY.md §4).
 
