@@ -609,8 +609,46 @@ def embedding_near_dups(emb: DataFrame, dim: int, threshold: float = 0.95,
     )
 
 
+def _components_driver_side(edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Union-find over a size-gated edge list (see near_dup_components).
+
+    ``edges`` is the materialized directed edge set (both orientations,
+    distinct); the result schema takes the id type from ``pairs``.
+    Canonical label = the minimum member of each component under the
+    id column's natural order — identical to the distributed loop's
+    min-label fixpoint.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.select("src", "dst").collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the running root IS the canonical label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in parent]
+    id_type = pairs.schema["doc_a"].dataType
+    schema = StructType([StructField("doc_id", id_type, True),
+                         StructField("component", id_type, True)])
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def near_dup_components(pairs: DataFrame, max_iters: int = 20,
-                        checkpoint_dir: str | None = None) -> DataFrame:
+                        checkpoint_dir: str | None = None,
+                        small_graph_max_edges: int = 200_000) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
     Pairwise candidates (MinHash/SimHash/embedding LSH) are not enough
@@ -640,6 +678,19 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20,
     Input: (doc_a, doc_b) pairs. Output: (doc_id, component) where
     component is the lexicographically-smallest member — the canonical
     document to KEEP when deduping.
+
+    ``small_graph_max_edges``: below this DIRECTED-edge count the
+    components are solved with a driver-side union-find instead of the
+    distributed loop — the same kind of bounded, size-gated driver
+    decision as a broadcast-join threshold. Near-dup graphs are tiny
+    relative to their corpora (edges exist only between near-identical
+    docs), so the common case pays one bounded collect instead of
+    4-6 per-round jobs; a genuinely large graph (mass-duplication)
+    exceeds the gate and takes the scale-safe iterative path. The
+    union-find uses min-label canonicalization under Python's string /
+    int ordering, which matches Spark's (UTF-8 byte order preserves
+    code-point order), so both paths are value-identical — pinned by
+    test.
     """
     from .materialize import RoundMaterializer
 
@@ -655,6 +706,8 @@ def near_dup_components(pairs: DataFrame, max_iters: int = 20,
         # scaling suite)
         "edges",
     )
+    if small_graph_max_edges > 0 and edges.count() <= small_graph_max_edges:
+        return _components_driver_side(edges, pairs)
     labels = mat(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -99,12 +99,21 @@ def hashed_gram_buckets(words, bucket_hexlen: int = 3):
     )
 
 
-def _bucket_counts(frame: DataFrame, bucket_col: str) -> DataFrame:
-    """(bucket, cnt) occurrence counts — bounded-key, map-side combined."""
+def exploded_buckets(frame: DataFrame, text_col, bucket_hexlen: int = 3) -> DataFrame:
+    """One (bucket) row per gram occurrence of ``text_col``.
+
+    The explode MUST sit directly above the ``_ws`` projection: an
+    intermediate ``select(hashed_gram_buckets(_ws).alias(...))`` makes
+    two ADJACENT projections that CollapseProject merges, inlining the
+    word split into every gram lambda — the O(words²) re-split the
+    hashed_gram_buckets docstring warns about (measured 6.5x on the
+    sf1.0 target slice: 7.1 s -> 1.1 s). A Generate node between the
+    projections blocks the merge, so this shape is load-bearing.
+    """
     return (
-        frame.select(F.explode(bucket_col).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        frame.select(split_words(F.col(text_col)).alias("_ws"))
+        .select(F.explode(hashed_gram_buckets(
+            F.col("_ws"), bucket_hexlen)).alias("bucket"))
     )
 
 
@@ -150,10 +159,9 @@ def dsir_importance(docs: DataFrame, target: DataFrame, *,
         "dsir_grams", eager=False,
     )
     tcounts = mat(
-        _bucket_counts(
-            target.select(split_words(F.col(target_text_col)).alias("_ws"))
-            .select(hashed_gram_buckets(
-                F.col("_ws"), bucket_hexlen).alias("_b")), "_b"),
+        exploded_buckets(target, target_text_col, bucket_hexlen)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt")),
         "dsir_tcounts", eager=False,
     )
     rcounts = mat(

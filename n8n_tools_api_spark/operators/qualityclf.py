@@ -76,18 +76,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dsir import _bucket_counts, hashed_gram_buckets, split_words
+from .dsir import exploded_buckets, hashed_gram_buckets, split_words
 from .lm_ppx import surprisal_q16
 
 
 def _side_counts(frame: DataFrame, text_col: str, hexlen: int,
                  out: str) -> DataFrame:
-    """(bucket, <out>) training occurrence counts for one class slice."""
-    return _bucket_counts(
-        frame.select(split_words(F.col(text_col)).alias("_ws"))
-        .select(hashed_gram_buckets(F.col("_ws"), hexlen).alias("_b")),
-        "_b",
-    ).withColumnRenamed("cnt", out)
+    """(bucket, <out>) training occurrence counts for one class slice.
+
+    Uses the Generate-protected explode shape (dsir.exploded_buckets) —
+    an array-alias projection here would CollapseProject into an
+    O(words²) per-gram re-split of the training text.
+    """
+    return (
+        exploded_buckets(frame, text_col, hexlen)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias(out))
+    )
 
 
 def nb_quality_weights(positive: DataFrame, negative: DataFrame, *,

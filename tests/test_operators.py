@@ -567,6 +567,34 @@ class TestNearDupComponents:
         assert clusters["a"] == ["a", "b", "c"]
         assert clusters["m"] == ["m", "n", "o", "p"]
 
+    def test_driver_fast_path_matches_distributed_loop(self, spark):
+        """The size-gated driver union-find (small_graph_max_edges) must
+        agree exactly with the distributed min-label loop — same
+        components, same canonical (minimum) labels — for both string
+        and bigint id types, including multi-round chain closures."""
+        from n8n_tools_api_spark.operators.dedup import near_dup_components
+
+        chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(24)]
+        pairs = spark.createDataFrame(
+            chain + [("x", "y"), ("b9", "a1"), ("a1", "z9")],
+            "doc_a string, doc_b string")
+        fast = {r["doc_id"]: r["component"]
+                for r in near_dup_components(pairs).collect()}
+        loop = {r["doc_id"]: r["component"]
+                for r in near_dup_components(
+                    pairs, small_graph_max_edges=0).collect()}
+        assert fast == loop
+        ints = spark.createDataFrame(
+            [(10, 3), (3, 7), (100, 200), (5, 3)],
+            "doc_a bigint, doc_b bigint")
+        fast_i = {r["doc_id"]: r["component"]
+                  for r in near_dup_components(ints).collect()}
+        loop_i = {r["doc_id"]: r["component"]
+                  for r in near_dup_components(
+                      ints, small_graph_max_edges=0).collect()}
+        assert fast_i == loop_i
+        assert fast_i[10] == fast_i[7] == fast_i[5] == 3
+
     def test_reliable_checkpoint_path_matches_local(self, spark, tmp_path):
         """round-3 verdict #2: the parquet-round-trip mode must give
         byte-identical components, clean up superseded rounds, and
@@ -583,7 +611,11 @@ class TestNearDupComponents:
         local = {r["doc_id"]: r["component"]
                  for r in near_dup_components(pairs).collect()}
         ck = str(tmp_path / "ck")
-        reliable_df = near_dup_components(pairs, checkpoint_dir=ck)
+        # small_graph_max_edges=0 forces the distributed loop — this
+        # test exercises the reliable round-file rotation, which the
+        # size-gated driver fast path would skip entirely
+        reliable_df = near_dup_components(pairs, checkpoint_dir=ck,
+                                          small_graph_max_edges=0)
         reliable = {r["doc_id"]: r["component"]
                     for r in reliable_df.collect()}
         assert reliable == local
