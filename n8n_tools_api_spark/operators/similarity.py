@@ -149,10 +149,16 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
 
     mat = RoundMaterializer(checkpoint_dir)
     centroids, assigned = ivf_assign(emb, nlist, id_col, vec_col)
-    # each Lloyd iteration nests a crossJoin-over-emb into the lineage;
-    # materialize per round so downstream actions don't replay the whole
-    # chain (review finding — mirrors near_dup_components)
-    assigned = mat(assigned, "assign_init")
+    # each Lloyd iteration nests an assignment-over-emb into the
+    # lineage; cut per round so downstream actions don't replay the
+    # whole chain (review finding — mirrors near_dup_components). Cuts
+    # are DEFERRED (eager=False): each is consumed exactly once by the
+    # next round's mean aggregation, which materializes it inside that
+    # job instead of paying a scheduling round of its own; and the
+    # final round's reassignment is skipped outright — only the
+    # centroids are returned, so computing one more assignment was
+    # pure waste (callers reassign themselves when they need it).
+    assigned = mat(assigned, "assign_init", eager=False)
     for _i in range(iters):
         dims = (
             assigned.select("cluster_id",
@@ -168,12 +174,17 @@ def kmeans_refine(emb: DataFrame, nlist: int = 16, iters: int = 2,
                     F.transform("dv", lambda x: x["mean_v"].cast("float"))
                     .alias("centroid")),
             f"centroids_{_i}",
+            # the RETURNED round must be eager: callers consume the
+            # centroid set on two branches of one job (assignment +
+            # score join), which a deferred cut cannot dedup
+            eager=(_i == iters - 1),
         )
-        assigned = mat(
-            assign_to_centroids(emb, centroids, id_col, vec_col),
-            f"assign_{_i}",
-        )
-        mat.release(f"assign_{_i - 1}" if _i else "assign_init")
+        if _i < iters - 1:
+            assigned = mat(
+                assign_to_centroids(emb, centroids, id_col, vec_col),
+                f"assign_{_i}", eager=False,
+            )
+            mat.release(f"assign_{_i - 1}" if _i else "assign_init")
         if _i:
             mat.release(f"centroids_{_i - 1}")
     return centroids
@@ -342,7 +353,10 @@ def semdedup_keep_list(emb: DataFrame, threshold: float = 0.95,
                 F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
                 cosine_similarity_col(F.col(vec_col), F.col("centroid"))
                 .alias("centroid_sim")),
-        "semdedup_scored")
+        # deferred: first materialized inside the candidate job (one
+        # consumption there); the exact-verify and ranked joins then
+        # read the cache
+        "semdedup_scored", eager=False)
     # Per-cluster pairwise stage, two passes (guide §1.2/§4.2 — decide
     # with a cheap vectorized proxy, confirm with the exact expression):
     #
@@ -405,7 +419,7 @@ def semdedup_keep_list(emb: DataFrame, threshold: float = 0.95,
         scored.select("cluster_id", "vec_id", "_v", "_n")
         .groupBy("cluster_id")
         .applyInPandas(_cand_fn, f"doc_a {id_type}, doc_b {id_type}"),
-        "semdedup_cands")
+        "semdedup_cands", eager=False)
     va = scored.select(F.col("vec_id").alias("doc_a"),
                        F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     vb = scored.select(F.col("vec_id").alias("doc_b"),
