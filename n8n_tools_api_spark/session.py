@@ -84,6 +84,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime SMJ -> shuffled-hash rewrite for small build sides:
+        # AQE applies it per-join only when every post-shuffle partition
+        # is under this threshold, so big-data joins keep the spillable
+        # sort-merge path — a scale-adaptive setting, not a local tune
+        # (guide §3.1; default 0 disables the rewrite entirely)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
