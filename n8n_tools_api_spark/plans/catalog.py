@@ -25,10 +25,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       rescue: bool = True) -> DataFrame:
     from n8n_tools_api_spark.sources.tables import read_sf_table
 
-    return read_sf_table(spark, sf_dir, name)
+    return read_sf_table(spark, sf_dir, name, rescue=rescue)
 
 
 # exact-decimal money sum: deterministic under any partitioning
@@ -3477,7 +3478,9 @@ def c4_curation_keep_list_q(spark, sf_dir):
     replay → curation replay."""
     from n8n_tools_api_spark.operators.curation import c4_curation_keep_list
 
-    docs = _t(spark, sf_dir, "documents")
+    # bounded fixture (docs<300 + planted branches): the scan-rescue
+    # repartition would cost more scheduling than it buys (guide §1.2)
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     t = F.trim(F.regexp_replace(F.regexp_replace(
         F.coalesce(F.col("text"), F.lit("")), "[^a-z0-9 ]", " "), " +", " "))
@@ -4301,7 +4304,11 @@ def _web_pipeline(spark, sf_dir, use_lsh=False):
     hash."""
     from n8n_tools_api_spark.operators.curation import web_curation_keep_list
 
-    docs = _t(spark, sf_dir, "documents")
+    # bounded fixture (docs<300 + planted branches): skip the scan
+    # rescue — its keyed repartition fans the tiny slice into
+    # cores-sized exchanges of empty tasks (guide §1.2, measured ~30%
+    # of this chain's wall time)
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     idn = F.col("doc_id")
     t = F.trim(F.regexp_replace(F.regexp_replace(

@@ -41,7 +41,8 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     return _LAYOUT_CACHE[path]
 
 
-def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_sf_table(spark: SparkSession, sf_dir: str, name: str,
+                  rescue: bool = True) -> DataFrame:
     """Read an sf table, rescuing scan parallelism from unsplittable
     input layouts (guide §2.5 "input skew": one huge single-row-group
     file serializes every downstream narrow operator onto one core —
@@ -61,6 +62,15 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not rescue:
+        # bounded-fixture consumers (oracle chains that immediately
+        # slice to a few hundred planted rows) opt out: the keyed
+        # repartition would fan their tiny slice into cores-sized
+        # exchanges whose empty tasks dominate the chain's wall time
+        # (guide §1.2 — scheduling overhead, measured: the web/C4
+        # pipeline oracles ran ~30% faster without the rescue while
+        # full-table per-row-heavy queries ran 2-9x faster WITH it)
+        return df
     if name not in ("documents", "embeddings"):
         # relational tables feed scan+aggregate/join queries where
         # map-side partial aggregation already shrinks the data before
