@@ -117,7 +117,8 @@ def exploded_buckets(frame: DataFrame, text_col, bucket_hexlen: int = 3) -> Data
     )
 
 
-def dsir_importance(docs: DataFrame, target: DataFrame, *,
+def dsir_importance(docs: DataFrame, target: DataFrame | None = None, *,
+                    target_filter=None,
                     bucket_hexlen: int = 3, scale: int = 1_000_000,
                     id_col: str = "doc_id", text_col: str = "text",
                     target_text_col: str = "text",
@@ -140,27 +141,43 @@ def dsir_importance(docs: DataFrame, target: DataFrame, *,
     bounded-key count aggregations, a broadcast weight join folded
     into ONE doc-keyed aggregation producing n_grams and score
     together.
+
+    ``target`` is any frame with ``target_text_col``; when the target
+    is a SLICE of ``docs`` itself (the common in-domain-sample setup),
+    pass ``target_filter`` — a boolean Column over ``docs`` — instead:
+    the target grams then ride the SAME materialized gram pass as a
+    filter over the cached slim rows rather than paying a second
+    tokenize+md5 pass over the slice (guide §1.2 — don't compute
+    things twice; measured ~2.5 s of the sf1.0-scale query). Exactly
+    one of ``target`` / ``target_filter`` must be given.
     """
     if bucket_hexlen < 1 or bucket_hexlen > 8:
         raise ValueError(
             f"bucket_hexlen must be in 1..8, got {bucket_hexlen}")
+    if (target is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target / target_filter")
     from n8n_tools_api_spark.operators.materialize import RoundMaterializer
 
     mat = RoundMaterializer(checkpoint_dir)
+    tgt_cols = [target_filter.alias("_tgt")] if target_filter is not None \
+        else []
     exploded = mat(
         docs.select(
             F.col(id_col).alias("doc_id"),
             split_words(F.col(text_col)).alias("_ws"),
+            *tgt_cols,
         ).select(
             "doc_id",
             F.explode(hashed_gram_buckets(
                 F.col("_ws"), bucket_hexlen)).alias("bucket"),
+            *(["_tgt"] if target_filter is not None else []),
         ),
         "dsir_grams", eager=False,
     )
+    tgrams = (exploded.where(F.col("_tgt")) if target_filter is not None
+              else exploded_buckets(target, target_text_col, bucket_hexlen))
     tcounts = mat(
-        exploded_buckets(target, target_text_col, bucket_hexlen)
-        .groupBy("bucket")
+        tgrams.groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("cnt")),
         "dsir_tcounts", eager=False,
     )

@@ -4790,8 +4790,11 @@ def dsir_selection_q(spark, sf_dir):
     # paid a second full-text shuffle plus its sort-before-repartition)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "lang", "text")
-    target = docs.where(F.col("lang") == "de")
-    rep = dsir_importance(docs, target, bucket_hexlen=3)
+    # target_filter (not a separate target frame): the de slice rides
+    # the one materialized gram pass instead of paying its own
+    # tokenize+md5 pass over the slice (operators/dsir.py)
+    rep = dsir_importance(docs, target_filter=F.col("lang") == "de",
+                          bucket_hexlen=3)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         rep.join(docs.select("doc_id", "lang"), "doc_id")

@@ -108,3 +108,29 @@ class TestScaleShape:
             dsir_importance(d, d, bucket_hexlen=0)
         with pytest.raises(ValueError):
             dsir_importance(d, d, bucket_hexlen=9)
+
+
+class TestTargetFilter:
+    """target_filter rides the one materialized gram pass; it must be
+    row-for-row identical to passing the same slice as a target frame."""
+
+    def test_filter_equals_slice_frame(self, spark):
+        from pyspark.sql import functions as F
+        rows = [("d0", "aa bb cc", "de"), ("d1", "bb cc", "en"),
+                ("d2", "aa aa", "de"), ("d3", None, "en"),
+                ("d4", "  ", "de")]
+        d = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+        via_frame = sorted(map(tuple, dsir_importance(
+            d, d.where(F.col("lang") == "de")).collect()))
+        via_filter = sorted(map(tuple, dsir_importance(
+            d, target_filter=F.col("lang") == "de").collect()))
+        assert via_frame == via_filter
+
+    def test_exactly_one_target_spec_required(self, spark):
+        from pyspark.sql import functions as F
+        d = spark.createDataFrame([("d", "aa", "de")],
+                                  "doc_id string, text string, lang string")
+        with pytest.raises(ValueError):
+            dsir_importance(d)
+        with pytest.raises(ValueError):
+            dsir_importance(d, d, target_filter=F.col("lang") == "de")
