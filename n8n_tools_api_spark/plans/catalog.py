@@ -443,7 +443,7 @@ ORDER BY doc_id
 
 def exact_dedup_stats(spark, sf_dir):
     """Exact dedup (hash-groupBy): corpus-level duplication summary."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     return docs.agg(
         F.count("*").alias("total_docs"),
         F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("distinct_texts"),
@@ -1591,7 +1591,7 @@ def url_landing(spark, sf_dir):
     whole ladder on hex strings."""
     from n8n_tools_api_spark.operators.landing import url_landing_plan
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    docs = _t(spark, sf_dir, "documents", rescue=False).where(F.col("doc_id") < 240)
     m = (F.col("doc_id") % 12).cast("int")
     did = F.col("doc_id").cast("string")
     url = (
@@ -2703,7 +2703,7 @@ def c4_line_filter_q(spark, sf_dir):
     split exactly."""
     from n8n_tools_api_spark.operators.textstats import c4_line_filter
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     base = docs.where(F.col("doc_id") < 300).select(
         did.alias("doc_id"), "text")
@@ -3029,7 +3029,7 @@ def host_cap_keep_list(spark, sf_dir):
     global window."""
     from n8n_tools_api_spark.operators.curation import per_host_cap
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     base = docs.where(F.col("doc_id") < 400).select(
         did.alias("doc_id"),
@@ -3227,7 +3227,7 @@ def c4_badwords_q(spark, sf_dir):
     phrase scan closed-form."""
     from n8n_tools_api_spark.operators.textstats import c4_badwords_filter
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", rescue=False).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     base = docs.where(F.col("doc_id").cast("bigint") < 300)
     planted = spark.createDataFrame([
@@ -3922,7 +3922,7 @@ def boilerplate_strip_q(spark, sf_dir):
         strip_boilerplate_stage,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    docs = _t(spark, sf_dir, "documents", rescue=False).where(F.col("doc_id") < 240)
     s = F.trim(F.regexp_replace(
         F.regexp_replace("text", "[^a-z0-9 ]", " "), " +", " "))
     t1 = F.substring(s, 1, 110)
@@ -4230,7 +4230,7 @@ def mixture_sample_report_q(spark, sf_dir):
     realized per-stratum counts are exact, not statistical."""
     from n8n_tools_api_spark.operators.sampling import mixture_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     i = F.col("doc_id").cast("string")
     corpus = docs.select(i.alias("doc_id"), "lang").unionByName(
         docs.where(F.col("doc_id") < 20).select(
@@ -5261,7 +5261,7 @@ def line_dedup_q(spark, sf_dir):
     gate, and the positional rebuild exactly."""
     from n8n_tools_api_spark.operators.dedup import line_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     g = (F.col("doc_id") % 8).cast("string")
     base = docs.where(F.col("doc_id") < 150).select(
@@ -5441,7 +5441,7 @@ def repeated_line_strip_q(spark, sf_dir):
     index + 1 in Spark — the off-by-one is pinned by this oracle)."""
     from n8n_tools_api_spark.operators.dedup import strip_repeated_lines
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     g = (F.col("doc_id") % 8).cast("string")
     base = docs.where(F.col("doc_id") < 150).select(
@@ -6176,7 +6176,7 @@ def web_dedup_keep_list_q(spark, sf_dir):
     all four stages as one chained query."""
     from n8n_tools_api_spark.operators.curation import web_dedup_keep_list
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    docs = _t(spark, sf_dir, "documents", rescue=False).where(F.col("doc_id") < 240)
     i = F.col("doc_id").cast("string")
     g = F.expr("doc_id div 6").cast("string")
     f8 = F.expr("(doc_id div 6) % 8").cast("string")
