@@ -133,10 +133,18 @@ def bpe_learn(docs: DataFrame, n_merges: int, min_count: int = 2,
 
     spark = docs.sparkSession
     mat = RoundMaterializer(checkpoint_dir)
+    # eager=False throughout the loop: each round's cut materializes
+    # inside the NEXT round's argmax job instead of paying its own job
+    # (guide §1.2 — the loop is job-count-bound at vocabulary scale),
+    # and the final round's never-consumed cut never materializes at
+    # all. Reliable mode (checkpoint_dir=) stays eager by construction.
+    # Safe ordering: argmax r+1 materializes words_{r+1} while its
+    # parent words_r blocks still exist (release() is a local-mode
+    # no-op), so the lazy chain never recomputes a truncated lineage.
     words = mat(
         word_frequencies(docs, text_col).select(
             "freq", _initial_symbols(F.col("word")).alias("sym")),
-        "bpe_round0")
+        "bpe_round0", eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     prev_tag = "bpe_round0"
     for r in range(n_merges):
@@ -155,7 +163,7 @@ def bpe_learn(docs: DataFrame, n_merges: int, min_count: int = 2,
                 "freq",
                 _apply_merge(F.col("sym"), row["left"], row["right"])
                 .alias("sym")),
-            tag)
+            tag, eager=False)
         mat.release(prev_tag)
         prev_tag = tag
     return spark.createDataFrame(
