@@ -113,8 +113,14 @@ def curation_keep_list(docs: DataFrame, use_lsh: bool = False,
                                     checkpoint_shingles=True,
                                     checkpoint_dir=checkpoint_dir)
     else:
+        # cut the capped shingle stream (the "cand" mode): without it
+        # the explode over the cleaned survivors executes once per
+        # consumer — df-cap build, per-doc sizes, and BOTH self-join
+        # sides (four concurrent exchanges in the profile)
         pairs = ngram_jaccard_pairs(survivors, text_col="clean_text", k=k,
-                                    threshold=threshold)
+                                    threshold=threshold,
+                                    checkpoint_shingles=True,
+                                    checkpoint_dir=checkpoint_dir)
     comp = near_dup_components(pairs.select("doc_a", "doc_b"),
                                checkpoint_dir=checkpoint_dir)
     surv_out = (
