@@ -42,7 +42,7 @@ def _parquet_layout(path: str) -> tuple[int, int]:
 
 
 def read_sf_table(spark: SparkSession, sf_dir: str, name: str,
-                  rescue: bool = True) -> DataFrame:
+                  rescue: bool | str = True) -> DataFrame:
     """Read an sf table, rescuing scan parallelism from unsplittable
     input layouts (guide §2.5 "input skew": one huge single-row-group
     file serializes every downstream narrow operator onto one core —
@@ -71,7 +71,13 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str,
         # pipeline oracles ran ~30% faster without the rescue while
         # full-table per-row-heavy queries ran 2-9x faster WITH it)
         return df
-    if name not in ("documents", "embeddings"):
+    # rescue="force" extends the rescue to relational tables for
+    # callers whose downstream is CPU-dense per input row (rollup
+    # grouping-set decimal sums, fat sort-merge map sides). Plain
+    # scan+aggregate queries measured a net LOSS from it (the exchange
+    # costs more than the parallelism buys), so it is opt-in per query,
+    # never the default.
+    if rescue != "force" and name not in ("documents", "embeddings"):
         # relational tables feed scan+aggregate/join queries where
         # map-side partial aggregation already shrinks the data before
         # any exchange — an up-front repartition measured as a net LOSS
