@@ -2411,8 +2411,10 @@ ORDER BY doc_id
 
 def _curation_corpus(spark, sf_dir):
     """documents<300 ∪ 40 planted exact copies ∪ 25 planted 90%-truncated
-    near-dups — the deterministic corpus both curation queries share."""
-    docs = _t(spark, sf_dir, "documents").select(
+    near-dups — the deterministic corpus both curation queries share.
+    Bounded fixture: skip the scan rescue (guide §1.2; interleaved A/B
+    at the 10x dataset measured every consumer faster without it)."""
+    docs = _t(spark, sf_dir, "documents", rescue=False).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     base = docs.where(F.col("doc_id").cast("bigint") < 300)
     copies = docs.where(F.col("doc_id").cast("bigint") < 40).select(
@@ -2811,7 +2813,7 @@ def c4_span_dedup_q(spark, sf_dir):
     sentence rebuild exactly."""
     from n8n_tools_api_spark.operators.dedup import c4_span_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     base = docs.where(F.col("doc_id") < 250).select(
         did.alias("doc_id"), "text")
@@ -3315,7 +3317,7 @@ def corpus_expectations_q(spark, sf_dir):
     from n8n_tools_api_spark.operators.expectations import (
         corpus_expectations)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", rescue=False).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text", "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"))
     base = docs.where(F.col("doc_id").cast("bigint") < 300)
@@ -3395,7 +3397,7 @@ def classifier_curation_keep_list_q(spark, sf_dir):
     from n8n_tools_api_spark.operators.curation import (
         classifier_curation_keep_list)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     reps = "CAST(doc_id % 3 + 1 AS INT)"
 
     def marked(lo, hi, prefix, marker, even_only=False):
@@ -4598,7 +4600,7 @@ def exact_substr_dedup_q(spark, sf_dir):
     first-occurrence ranking, and the covered-token rebuild."""
     from n8n_tools_api_spark.operators.dedup import exact_substr_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     did = F.col("doc_id").cast("string")
     idn = F.col("doc_id")
     sp25 = F.concat_ws(" ", *[
@@ -4927,7 +4929,7 @@ def quality_classifier_q(spark, sf_dir):
         quality_classifier_scores)
 
     # _t's read helper spreads single-split parquet layouts already
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rescue=False)
     base = docs.where(F.col("doc_id") < 300).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("base").alias("cls"), "text",
