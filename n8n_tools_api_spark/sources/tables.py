@@ -89,6 +89,14 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str,
         rows, groups = _parquet_layout(path)
     except Exception:
         return df  # exotic layout: fall back to the plain read
+    if rescue == "force" and rows < 1_000_000:
+        # scale gate for the relational force path: the exchange's
+        # fixed cost (~0.2-0.3 s) only amortizes once the serialized
+        # per-row compute exceeds it — measured crossover between 600k
+        # rows (q10 at sf0.1: force LOSES 0.26 s) and 1.5M rows
+        # (rollup at sf1.0: force WINS 1.5 s). Text/vector rescues are
+        # unaffected: their per-row work is heavy at any size.
+        return df
     cores = spark.sparkContext.defaultParallelism
     if groups < cores and rows // groups >= 1500:
         n = min(cores * 2, max(rows // 1000, cores))
